@@ -1,0 +1,282 @@
+"""Vectorized BN254 field arithmetic for TPU — 16-bit limbs in uint32 lanes.
+
+Design (TPU-first, no 64-bit integer dependency):
+
+- A field element is 16 little-endian 16-bit limbs stored in ``uint32``.
+- Batch layout is **limbs-leading**: an array of shape ``(16, *batch)`` so the
+  batch dimension rides the 128-wide VPU lanes and the (short, static) limb
+  axis is unrolled / scanned.
+- Multiplication is schoolbook column accumulation: 16×16 limb products are
+  split into 16-bit halves before accumulating, so every intermediate fits a
+  uint32 (max 32 summands × (2^16-1) < 2^21). A single carry `lax.scan` over
+  the 32-column axis normalizes to exact limbs.
+- Montgomery reduction is full-product REDC with R = 2^256:
+  ``m = (T mod R)·N' mod R``, ``result = (T + m·N) / R``, one conditional
+  subtract. Operands are kept in Montgomery form for mul-heavy code
+  (Poseidon, NTT); ``to_mont``/``from_mont`` convert at the boundary.
+
+This replaces the reference's halo2curves 4×64-bit Montgomery arithmetic
+(`zk_prover` depends on halo2curves 0.1.0 — see SURVEY.md §2b) with a scheme
+native to TPU's 32-bit integer VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as F
+
+NLIMBS = 16  # 16 × 16-bit = 256 bits
+LIMB_BITS = 16
+LIMB_MASK = 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversions
+# ---------------------------------------------------------------------------
+
+def int_to_limbs(x: int, nlimbs: int = NLIMBS) -> np.ndarray:
+    """One integer → (nlimbs,) uint32 LE 16-bit limbs."""
+    return np.array(
+        [(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(nlimbs)], dtype=np.uint32
+    )
+
+
+def ints_to_limbs(xs, nlimbs: int = NLIMBS) -> np.ndarray:
+    """Sequence of ints → (nlimbs, len(xs)) uint32, limbs leading."""
+    out = np.empty((nlimbs, len(xs)), dtype=np.uint32)
+    for j, x in enumerate(xs):
+        for i in range(nlimbs):
+            out[i, j] = (x >> (LIMB_BITS * i)) & LIMB_MASK
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    limbs = np.asarray(limbs)
+    return sum(int(limbs[i]) << (LIMB_BITS * i) for i in range(limbs.shape[0]))
+
+
+def limbs_to_ints(limbs) -> list[int]:
+    """(nlimbs, N) → list of N ints."""
+    limbs = np.asarray(limbs, dtype=np.uint64)
+    n = limbs.shape[0]
+    acc = [0] * limbs.shape[1]
+    arr = limbs.T  # (N, nlimbs)
+    out = []
+    for row in arr:
+        v = 0
+        for i in range(n - 1, -1, -1):
+            v = (v << LIMB_BITS) | int(row[i])
+        out.append(v)
+    return out
+
+
+class FieldSpec:
+    """Static per-field constants, pre-limbed for device broadcast."""
+
+    def __init__(self, mod: int, nprime: int, r2: int, r3: int | None = None):
+        self.mod_int = mod
+        self.mod = int_to_limbs(mod)
+        self.nprime = int_to_limbs(nprime)
+        self.r2 = int_to_limbs(r2 % mod)
+        self.one_mont = int_to_limbs((1 << 256) % mod)
+        self.zero = np.zeros(NLIMBS, dtype=np.uint32)
+
+    def const(self, value: int, mont: bool = True) -> np.ndarray:
+        """Embed a host integer as (16, 1) limbs, optionally in Montgomery form."""
+        v = value % self.mod_int
+        if mont:
+            v = (v << 256) % self.mod_int
+        return int_to_limbs(v).reshape((NLIMBS, 1))
+
+
+FR = FieldSpec(F.FR_MOD, F.FR_NPRIME, F.FR_R2)
+FQ = FieldSpec(F.FQ_MOD, F.FQ_NPRIME, F.FQ_R2)
+
+
+def _bc(const: np.ndarray, ndim: int) -> jax.Array:
+    """Reshape a (16,) per-field constant for broadcast against (16, *batch)."""
+    return jnp.asarray(const).reshape((NLIMBS,) + (1,) * (ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Carry handling
+# ---------------------------------------------------------------------------
+
+def _carry_scan(cols: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Normalize per-column sums (< 2^27) to exact 16-bit limbs.
+
+    cols: (C, *batch) uint32. Returns (limbs (C, *batch), carry_out (*batch,)).
+    """
+
+    def step(carry, col):
+        v = col + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    carry_out, limbs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+    return limbs, carry_out
+
+
+def _sub_limbs(a: jax.Array, b) -> tuple[jax.Array, jax.Array]:
+    """Exact limbwise a - b with borrow scan. Returns (diff, borrow_out)."""
+    b = jnp.broadcast_to(jnp.asarray(b, jnp.uint32), a.shape)
+
+    def step(borrow, ab):
+        ai, bi = ab
+        v = ai + (LIMB_MASK + 1) - bi - borrow
+        return 1 - (v >> LIMB_BITS), v & LIMB_MASK
+
+    borrow_out, diff = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, b))
+    return diff, borrow_out
+
+
+def _cond_sub(spec_mod, x: jax.Array, carry_in=None) -> jax.Array:
+    """If x (+ carry_in·2^256) >= mod, subtract mod once. Input < 2·mod."""
+    diff, borrow = _sub_limbs(x, spec_mod)
+    ge = borrow == 0
+    if carry_in is not None:
+        ge = ge | (carry_in > 0)  # an overflow limb makes the value >= 2^256 > mod
+    return jnp.where(ge[None, ...], diff, x)
+
+
+# ---------------------------------------------------------------------------
+# Wide multiply
+# ---------------------------------------------------------------------------
+
+def _mul_columns(a: jax.Array, b: jax.Array, out_limbs: int) -> jax.Array:
+    """Column sums of the limb product, pre-carry.
+
+    a, b: (16, *batch) exact 16-bit limbs. Returns (out_limbs, *batch) uint32
+    with each column < 2^21 (32 summands of < 2^16).
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = jnp.zeros((out_limbs + 1,) + batch, dtype=jnp.uint32)
+    for j in range(NLIMBS):
+        if j >= out_limbs:
+            break
+        width = min(NLIMBS, out_limbs - j)
+        p = a[:width] * b[j]  # (width, *batch), exact (< 2^32)
+        acc = acc.at[j : j + width].add(p & LIMB_MASK)
+        acc = acc.at[j + 1 : j + width + 1].add(p >> LIMB_BITS)
+    return acc[:out_limbs]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def mont_mul(a: jax.Array, b: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    """Montgomery product: returns a·b·R^{-1} mod p.  (16, *batch) layout."""
+    ndim = max(a.ndim, b.ndim)
+    mod = _bc(spec.mod, ndim)
+    nprime = _bc(spec.nprime, ndim)
+    # T = a * b (512-bit, exact limbs)
+    t, _ = _carry_scan(_mul_columns(a, b, 2 * NLIMBS))
+    # m = (T mod R) * N' mod R  (low half only)
+    m, _ = _carry_scan(_mul_columns(t[:NLIMBS], nprime, NLIMBS))
+    # T + m*N, take high half (low half is zero by construction)
+    mn, _ = _carry_scan(_mul_columns(m, mod, 2 * NLIMBS))
+    total, carry = _carry_scan(t + mn)  # columns <= 2·(2^16-1) < 2^17, safe
+    hi = jnp.concatenate([total[NLIMBS:], carry[None]], axis=0)
+    # hi < 2p and fits 17 limbs; top limb is 0 or tiny — fold into cond-sub
+    hi16, top = hi[:NLIMBS], hi[NLIMBS]
+    return _cond_sub(mod, hi16, carry_in=top)
+
+
+def mont_sqr(a: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    return mont_mul(a, a, spec)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def add_mod(a: jax.Array, b: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    """(a + b) mod p for canonical inputs; works in either domain."""
+    s, carry = _carry_scan(a + b)  # columns < 2^17
+    return _cond_sub(_bc(spec.mod, s.ndim), s, carry_in=carry)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def sub_mod(a: jax.Array, b: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    """(a - b) mod p."""
+    mod = _bc(spec.mod, max(a.ndim, b.ndim))
+    s, carry = _carry_scan(a + jnp.broadcast_to(mod, jnp.broadcast_shapes(a.shape, b.shape)))
+    diff, borrow = _sub_limbs(s, jnp.broadcast_to(b, s.shape))
+    # a + p - b in [1, 2p); carry/borrow cancel: value = diff + (carry-borrow)·2^256
+    return _cond_sub(mod, diff, carry_in=carry - borrow)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def neg_mod(a: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    mod = _bc(spec.mod, a.ndim)
+    diff, _ = _sub_limbs(jnp.broadcast_to(mod, a.shape), a)
+    # p - a, except a == 0 must map to 0 (p - 0 = p is non-canonical)
+    is_zero = jnp.all(a == 0, axis=0)
+    return jnp.where(is_zero[None, ...], jnp.zeros_like(a), diff)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def to_mont(a: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    return mont_mul(a, _bc(spec.r2, a.ndim), spec)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def from_mont(a: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    one = jnp.zeros_like(a).at[0].set(1)
+    return mont_mul(a, one, spec)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def pow5(a: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    """x^5 in Montgomery form (the Poseidon S-box)."""
+    a2 = mont_mul(a, a, spec)
+    a4 = mont_mul(a2, a2, spec)
+    return mont_mul(a4, a, spec)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def mont_pow(a: jax.Array, exponent: int, spec: FieldSpec = FR) -> jax.Array:
+    """Fixed-exponent power — square-and-multiply via lax.scan over the bits
+    (keeps the traced graph small: one square+select-multiply body)."""
+    bits = np.array([int(b) for b in bin(exponent)[2:]], dtype=np.bool_)
+    result = jnp.broadcast_to(_bc(spec.one_mont, a.ndim), a.shape).astype(jnp.uint32)
+
+    def step(res, bit):
+        res = mont_mul(res, res, spec)
+        res = select(jnp.broadcast_to(bit, res.shape[1:]), mont_mul(res, a, spec), res)
+        return res, None
+
+    result, _ = jax.lax.scan(step, result, jnp.asarray(bits))
+    return result
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def inv_mont(a: jax.Array, spec: FieldSpec = FR) -> jax.Array:
+    """Inverse via Fermat: a^(p-2). Zero maps to zero."""
+    return mont_pow(a, spec.mod_int - 2, spec)
+
+
+def is_zero(a: jax.Array) -> jax.Array:
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise field select: mask ? a : b.  mask: (*batch,) bool."""
+    return jnp.where(mask[None, ...], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Convenience jitted wrappers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("field",))
+def batch_mont_mul(a, b, field: str = "fr"):
+    return mont_mul(a, b, FR if field == "fr" else FQ)
+
+
+@functools.partial(jax.jit, static_argnames=("field",))
+def batch_add_mod(a, b, field: str = "fr"):
+    return add_mod(a, b, FR if field == "fr" else FQ)
