@@ -175,20 +175,32 @@ def jac_to_affine_host(p):
     return (x * zi2 % F.FQ_MOD, y * zi2 % F.FQ_MOD * zinv % F.FQ_MOD)
 
 
-def msm(points, scalars):
-    """MSM of host affine points with host int scalars → host affine point.
+# Fixed device lane width: every MSM dispatch compiles once. Large MSMs are
+# chunked; chunk partials are combined host-side (a handful of adds).
+CHUNK = 2048
+# Below this size the host naive MSM is faster than a device dispatch.
+HOST_THRESHOLD = 256
 
-    Pads the lane count to a power of two (identity points, zero scalars).
-    """
+
+def msm(points, scalars):
+    """MSM of host affine points with host int scalars → host affine point."""
     assert len(points) == len(scalars)
-    n = max(2, 1 << (len(points) - 1).bit_length())
-    pts = list(points) + [None] * (n - len(points))
-    scs = list(scalars) + [0] * (n - len(scalars))
-    # infinity lanes: Z = bit would wrongly resurrect them; zero scalars keep
-    # their bits 0 so they never contribute. But an explicit infinity point
-    # with a nonzero scalar must be masked:
-    scs = [0 if p is None else s for p, s in zip(pts, scs)]
-    xs, ys = _points_to_device(pts)
-    bits = _scalars_to_bits(scs, n)
-    acc = _msm_device(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bits), n)
-    return jac_to_affine_host(acc)
+    # explicit infinity points must not be resurrected by Z=bit — zero their
+    # scalars so their bits never select them.
+    scalars = [0 if p is None else s for p, s in zip(points, scalars)]
+    if len(points) < HOST_THRESHOLD:
+        return C.g1_msm(points, scalars)
+    acc = None
+    for ofs in range(0, len(points), CHUNK):
+        pts = points[ofs : ofs + CHUNK]
+        scs = scalars[ofs : ofs + CHUNK]
+        if len(pts) < CHUNK:
+            pts = pts + [None] * (CHUNK - len(pts))
+            scs = scs + [0] * (CHUNK - len(scs))
+        xs, ys = _points_to_device(pts)
+        bits = _scalars_to_bits(scs, CHUNK)
+        part = jac_to_affine_host(
+            _msm_device(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bits), CHUNK)
+        )
+        acc = C.g1_add(acc, part)
+    return acc

@@ -54,6 +54,24 @@ def test_device_msm_matches_naive():
     assert got == want
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("CIRCUITS_TPU_SLOW"),
+    reason="device-path MSM at full chunk width; run with CIRCUITS_TPU_SLOW=1",
+)
+def test_device_msm_full_chunk():
+    """Exercises the real device path (n = CHUNK) against the host MSM."""
+    n = M.CHUNK
+    base = [C.g1_mul(C.G1_GEN, i + 1) for i in range(16)]
+    points = [base[i % 16] for i in range(n)]
+    scalars = [rng.randrange(F.FR_MOD) for _ in range(n)]
+    got = M.msm(points, scalars)
+    agg = [0] * 16
+    for i, s in enumerate(scalars):
+        agg[i % 16] = (agg[i % 16] + s) % F.FR_MOD
+    want = C.g1_msm(base, agg)
+    assert got == want
+
+
 def test_device_msm_edge_cases():
     g = C.G1_GEN
     # single point, scalar 1 / 0; infinity input; cancellation
