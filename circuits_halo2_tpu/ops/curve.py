@@ -135,6 +135,93 @@ def g1_msm(points, scalars):
     return acc
 
 
+# -- host Jacobian helpers (fast path for medium MSMs on the host) ----------
+
+def _jac_add(p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = z1 * z1 % Q
+    z2z2 = z2 * z2 % Q
+    u1 = x1 * z2z2 % Q
+    u2 = x2 * z1z1 % Q
+    s1 = y1 * z2 % Q * z2z2 % Q
+    s2 = y2 * z1 % Q * z1z1 % Q
+    if u1 == u2:
+        if s1 != s2:
+            return None
+        return _jac_double(p)
+    h = (u2 - u1) % Q
+    i = 4 * h * h % Q
+    j = h * i % Q
+    r = 2 * (s2 - s1) % Q
+    v = u1 * i % Q
+    x3 = (r * r - j - 2 * v) % Q
+    y3 = (r * (v - x3) - 2 * s1 * j) % Q
+    z3 = ((z1 + z2) ** 2 - z1z1 - z2z2) % Q * h % Q
+    return (x3, y3, z3)
+
+
+def _jac_double(p):
+    if p is None:
+        return None
+    x, y, z = p
+    if y == 0:
+        return None
+    a = x * x % Q
+    b = y * y % Q
+    c = b * b % Q
+    d = 2 * ((x + b) ** 2 - a - c) % Q
+    e = 3 * a % Q
+    f = e * e % Q
+    x3 = (f - 2 * d) % Q
+    y3 = (e * (d - x3) - 8 * c) % Q
+    z3 = 2 * y * z % Q
+    return (x3, y3, z3)
+
+
+def _jac_to_affine(p):
+    if p is None or p[2] == 0:
+        return None
+    zinv = pow(p[2], -1, Q)
+    zi2 = zinv * zinv % Q
+    return (p[0] * zi2 % Q, p[1] * zi2 % Q * zinv % Q)
+
+
+def g1_msm_pippenger(points, scalars, window: int = 8):
+    """Host Pippenger MSM (windowed buckets, Jacobian accumulation)."""
+    pairs = [
+        (p, s % FR_MOD)
+        for p, s in zip(points, scalars)
+        if p is not None and s % FR_MOD != 0
+    ]
+    if not pairs:
+        return None
+    nwin = (254 + window - 1) // window
+    acc = None
+    mask = (1 << window) - 1
+    for w in range(nwin - 1, -1, -1):
+        if acc is not None:
+            for _ in range(window):
+                acc = _jac_double(acc)
+        buckets = [None] * (1 << window)
+        shift = w * window
+        for p, s in pairs:
+            digit = (s >> shift) & mask
+            if digit:
+                buckets[digit] = _jac_add(buckets[digit], (p[0], p[1], 1))
+        running = None
+        total = None
+        for b in range(len(buckets) - 1, 0, -1):
+            running = _jac_add(running, buckets[b])
+            total = _jac_add(total, running)
+        acc = _jac_add(acc, total)
+    return _jac_to_affine(acc)
+
+
 def g1_to_bytes(p) -> bytes:
     if p is None:
         return b"\x00" * 64
