@@ -1,0 +1,85 @@
+"""Headline benchmark: batched Poseidon hashing throughput on device.
+
+This is the witness-side hot loop (Merkle sum tree build — reference
+criterion bench "build merkle sum tree", `zk_prover/benches/
+full_solvency_flow.rs:18-33`, which measures 2^20+1 Poseidon hashes on a
+rayon CPU pool). Here the same t=2/8F/56P BN254 Poseidon runs as limb-
+vectorized batches on the accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against an estimated 2.0e6 hashes/s for the
+reference's rayon build on a large CPU host (no number is published
+in-tree — BASELINE.md: "published: {}"; this anchor is a documented
+assumption, not a measured reference value).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+BASELINE_HASHES_PER_SEC = 2.0e6  # documented assumption (see module docstring)
+
+
+def main() -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from circuits_halo2_tpu.ops import poseidon
+
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    iters = int(os.environ.get("BENCH_ITERS", 8))
+    length = 3  # leaf preimage for 2 currencies
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 1 << 16, size=(length, 16, batch), dtype=np.uint32)
+    arr[:, 15, :] = 0  # zero the top limb: values < 2^240 < p
+
+    fn = jax.jit(poseidon.hash_batch)
+    x = jnp.asarray(arr)
+    np.asarray(fn(x))  # compile + warm (full materialization)
+
+    # correctness spot-check against the host path
+    from circuits_halo2_tpu.ops import field as F
+    from circuits_halo2_tpu.ops import field_jax as FJ
+
+    rinv = pow(1 << 256, -1, F.FR_MOD)
+    dev0 = FJ.limbs_to_ints(np.asarray(fn(x))[:, :1])[0] * rinv % F.FR_MOD
+    msg = [
+        FJ.limbs_to_int(arr[i, :, 0]) * rinv % F.FR_MOD for i in range(length)
+    ]
+    assert dev0 == poseidon.hash_n(msg), "device/host hash mismatch"
+    print("correctness spot-check passed", file=sys.stderr)
+
+    # dependency-chained timing loop: each iteration's input derives from the
+    # previous digest, so dispatches cannot overlap or be elided.
+    t0 = time.perf_counter()
+    state = x
+    for _ in range(iters):
+        h = fn(state)
+        state = jnp.stack([h] * length)
+    np.asarray(h)
+    dt = time.perf_counter() - t0
+
+    hashes_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "poseidon_bn254_hashes_per_sec",
+                "value": round(hashes_per_sec, 1),
+                "unit": "hashes/s",
+                "vs_baseline": round(hashes_per_sec / BASELINE_HASHES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -118,7 +118,9 @@ class RangeCheckChip:
             z_next = meta.query_advice(z, 1)
             sel = lookup_enable_selector
             u8_range = meta.query_fixed(lookup_u8_table, 0)
-            diff = z_cur - z_next * (1 << 8)
+            # reference builds this as z_next * Expression::Constant(256)
+            # (a Product node, not Scaled) — mirrored for VK-digest parity.
+            diff = z_cur - E.Product(z_next, E.Const(1 << 8))
             return [(sel * diff, u8_range)]
 
         cs.lookup_any(

@@ -134,8 +134,9 @@ class ConstraintSystem:
 
     def enable_constant(self, column: Column):
         assert column.kind == "fixed"
-        self.constants.append(column)
-        self.enable_equality(column)
+        if column not in self.constants:
+            self.constants.append(column)
+            self.enable_equality(column)
 
     # -- gates / lookups ------------------------------------------------------
 

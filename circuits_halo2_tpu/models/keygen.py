@@ -138,6 +138,13 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, asn: Assignment):
         sigma_values,
         omega,
     )
+    from .pinning import transcript_repr as _repr
+
+    # Framework-native pinned-VK digest (blake2b of the rendered compiled
+    # system). NOTE: not yet byte-identical to the Rust fork's Debug-format
+    # digest — the EVM/Keccak path (which has full parity) passes the
+    # digest explicitly; see models/pinning.py.
+    vk.transcript_repr = _repr(vk)
 
     fixed_polys = [NTT.intt_host(col, omega) for col in fixed_values]
     sigma_polys = [NTT.intt_host(col, omega) for col in sigma_values]

@@ -27,3 +27,7 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
+
+from circuits_halo2_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
