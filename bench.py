@@ -33,39 +33,47 @@ def main() -> None:
     import jax.numpy as jnp
 
     from circuits_halo2_tpu.ops import poseidon
+    from circuits_halo2_tpu.ops import poseidon_fast as PF
 
-    batch = int(os.environ.get("BENCH_BATCH", 8192))
-    iters = int(os.environ.get("BENCH_ITERS", 8))
+    batch = int(os.environ.get("BENCH_BATCH", 16384))
+    iters = int(os.environ.get("BENCH_ITERS", 16))
     length = 3  # leaf preimage for 2 currencies
 
     rng = np.random.default_rng(0)
-    arr = rng.integers(0, 1 << 16, size=(length, 16, batch), dtype=np.uint32)
-    arr[:, 15, :] = 0  # zero the top limb: values < 2^240 < p
+    arr = rng.integers(
+        0, 1 << 14, size=(length, PF.NLIMBS, batch), dtype=np.uint32
+    )
+    arr[:, PF.LOW :, :] = 0  # values < 2^255/2
 
-    fn = jax.jit(poseidon.hash_batch)
+    fn = jax.jit(PF.hash_batch15)
     x = jnp.asarray(arr)
     np.asarray(fn(x))  # compile + warm (full materialization)
 
     # correctness spot-check against the host path
     from circuits_halo2_tpu.ops import field as F
-    from circuits_halo2_tpu.ops import field_jax as FJ
 
-    rinv = pow(1 << 256, -1, F.FR_MOD)
-    dev0 = FJ.limbs_to_ints(np.asarray(fn(x))[:, :1])[0] * rinv % F.FR_MOD
+    dev0 = PF.limbs15_to_ints(np.asarray(fn(x))[:, :1])[0] * PF.R15_INV % F.FR_MOD
     msg = [
-        FJ.limbs_to_int(arr[i, :, 0]) * rinv % F.FR_MOD for i in range(length)
+        PF.limbs15_to_ints(arr[i, :, :1])[0] * PF.R15_INV % F.FR_MOD
+        for i in range(length)
     ]
     assert dev0 == poseidon.hash_n(msg), "device/host hash mismatch"
     print("correctness spot-check passed", file=sys.stderr)
 
-    # dependency-chained timing loop: each iteration's input derives from the
-    # previous digest, so dispatches cannot overlap or be elided.
+    # timing loop inside one jit dispatch (lax.scan with data dependency):
+    # measures device throughput, not per-dispatch tunnel latency.
+    def chained(x0):
+        def body(state, _):
+            h = PF.hash_batch15(state)
+            return jnp.stack([h] * length), h
+
+        final_state, _ = jax.lax.scan(body, x0, None, length=iters)
+        return final_state
+
+    chained_fn = jax.jit(chained)
+    np.asarray(chained_fn(x))  # compile + warm
     t0 = time.perf_counter()
-    state = x
-    for _ in range(iters):
-        h = fn(state)
-        state = jnp.stack([h] * length)
-    np.asarray(h)
+    np.asarray(chained_fn(x))
     dt = time.perf_counter() - t0
 
     hashes_per_sec = batch * iters / dt

@@ -69,9 +69,27 @@ class MockProver:
                 "scaled": lambda a, k: a * k % P,
             }
 
-        for row in range(usable):
-            ops = ops_for_row(row)
-            for gate in cs.gates:
+        # evaluate each gate only where one of its selectors is enabled —
+        # everywhere else the (uncompressed) selector factor is zero.
+        from . import expr as E
+
+        for gate in cs.gates:
+            sels: set = set()
+            for poly in gate.polys:
+                E.selectors_used(poly, sels)
+            if sels:
+                rows = sorted(
+                    {
+                        row
+                        for s in sels
+                        for row in range(usable)
+                        if selectors[s][row]
+                    }
+                )
+            else:
+                rows = range(usable)
+            for row in rows:
+                ops = ops_for_row(row)
                 for pi, poly in enumerate(gate.polys):
                     if poly.evaluate(ops) != 0:
                         failures.append(GateFailure(gate.name, pi, row))

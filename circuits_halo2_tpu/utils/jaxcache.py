@@ -14,6 +14,13 @@ def enable(cache_dir: str | None = None) -> None:
             ".jax_cache",
         ),
     )
+    # keep per-platform subdirectories: entries produced by the remote
+    # (axon) compile service fail to load on the local CPU and vice versa.
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

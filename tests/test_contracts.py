@@ -1,0 +1,93 @@
+"""Contracts-layer tests: Yul VM against the reference verifier, Solidity
+generator constant parity, overflow guard."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from circuits_halo2_tpu.contracts.yul_vm import (
+    encode_verify_calldata,
+    run_verifier,
+)
+from circuits_halo2_tpu.utils.pipeline import (
+    calculate_max_root_balance,
+    is_there_risk_of_overflow,
+)
+
+HERE = Path(__file__).parent
+REF_SOL = Path("/root/reference/contracts/src/InclusionVerifier.sol")
+PROOF_FIX = json.loads((HERE / "fixtures_proof_calldata.json").read_text())
+
+
+def test_overflow_guard():
+    assert not is_there_risk_of_overflow(8, 4)
+    assert not is_there_risk_of_overflow(8, 100)
+    assert is_there_risk_of_overflow(32, 4)  # 2^256 > p
+    assert calculate_max_root_balance(8, 4) == ((1 << 64) - 1) * 5
+
+
+def test_calldata_encoding():
+    data = encode_verify_calldata(b"\xaa" * 64, [1, 2])
+    # selector + two head words, then proof length at 0x44
+    assert int.from_bytes(data[4 + 0x40 : 4 + 0x60], "big") == 64
+    assert data[4 + 0x60 : 4 + 0x60 + 64] == b"\xaa" * 64
+
+
+@pytest.mark.skipif(not REF_SOL.exists(), reason="reference tree not mounted")
+def test_reference_contract_verifies_fixture():
+    """EVM-level parity: the reference-generated verifier contract, executed
+    by the Yul interpreter, accepts the reference proof fixture."""
+    sol = REF_SOL.read_text()
+    proof = bytes.fromhex(PROOF_FIX["proof"][2:])
+    instances = [int(x, 16) for x in PROOF_FIX["public_inputs"]]
+    assert run_verifier(sol, proof, instances)
+
+
+@pytest.mark.skipif(not REF_SOL.exists(), reason="reference tree not mounted")
+def test_reference_contract_rejects_corruption():
+    sol = REF_SOL.read_text()
+    proof = bytearray(bytes.fromhex(PROOF_FIX["proof"][2:]))
+    instances = [int(x, 16) for x in PROOF_FIX["public_inputs"]]
+    proof[300] ^= 1
+    assert not run_verifier(sol, bytes(proof), instances)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("CIRCUITS_TPU_SLOW"),
+    reason="needs keygen; run with CIRCUITS_TPU_SLOW=1",
+)
+def test_generated_contract_constants_match_reference():
+    """Our Solidity generator embeds the same VK constants the reference
+    generator produced (digest excepted — see models/pinning.py)."""
+    import re
+
+    from circuits_halo2_tpu.contracts.sol_generator import SolidityGenerator
+    from circuits_halo2_tpu.utils import pipeline
+
+    artifacts = pipeline.generate_setup_artifacts(
+        11, str(HERE / "fixtures_ptau_hermez-raw-11"), 4, 2, 8
+    )
+    gen = SolidityGenerator(artifacts.params, artifacts.vk, 4)
+    source = gen.render()
+    ours = {
+        name: int(value, 16)
+        for value, name in re.findall(
+            r"mstore\(0x[0-9a-f]+, (0x[0-9a-f]+)\) // (\S+)", source
+        )
+    }
+    vk_fix = json.loads((HERE / "fixtures_vk_inclusion.json").read_text())
+    for key in ("omega", "omega_inv", "n_inv", "omega_inv_to_l"):
+        assert ours[key] == int(vk_fix[key], 16), key
+    for i, (x, y) in enumerate(vk_fix["fixed_comms"]):
+        assert ours[f"fixed_comms[{i}].x"] == int(x, 16)
+        assert ours[f"fixed_comms[{i}].y"] == int(y, 16)
+    for i, (x, y) in enumerate(vk_fix["permutation_comms"]):
+        assert ours[f"permutation_comms[{i}].x"] == int(x, 16)
+        assert ours[f"permutation_comms[{i}].y"] == int(y, 16)
+    for i, want in enumerate(vk_fix["neg_s_g2"]):
+        key = ["neg_s_g2_x_1", "neg_s_g2_x_2", "neg_s_g2_y_1", "neg_s_g2_y_2"][i]
+        assert ours[key] == int(want, 16)
+    # structural layout numbers
+    assert "eq(0x0860, calldataload(PROOF_LEN_CPTR))" in source  # 2144 B
+    assert "NUM_INSTANCE_CPTR = 0x08c4" in source
