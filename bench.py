@@ -45,7 +45,13 @@ def main() -> None:
     )
     arr[:, PF.LOW :, :] = 0  # values < 2^255/2
 
-    fn = jax.jit(PF.hash_batch15)
+    impl = os.environ.get("BENCH_IMPL", "pallas")
+    if impl == "pallas":
+        from circuits_halo2_tpu.ops import poseidon_pallas as PPL
+
+        fn = jax.jit(PPL.hash_batch_pallas)
+    else:
+        fn = jax.jit(PF.hash_batch15)
     x = jnp.asarray(arr)
     np.asarray(fn(x))  # compile + warm (full materialization)
 
@@ -62,9 +68,16 @@ def main() -> None:
 
     # timing loop inside one jit dispatch (lax.scan with data dependency):
     # measures device throughput, not per-dispatch tunnel latency.
+    if impl == "pallas":
+        from circuits_halo2_tpu.ops import poseidon_pallas as PPL
+
+        hash_fn = PPL.hash_batch_pallas
+    else:
+        hash_fn = PF.hash_batch15
+
     def chained(x0):
         def body(state, _):
-            h = PF.hash_batch15(state)
+            h = hash_fn(state)
             return jnp.stack([h] * length), h
 
         final_state, _ = jax.lax.scan(body, x0, None, length=iters)
