@@ -1,0 +1,244 @@
+"""Pallas Poseidon kernel, per-limb register layout (v2) — EXPERIMENTAL.
+
+NOT yet validated end-to-end (interpret-mode execution of the per-limb
+structure is too slow for CI; on-device validation is queued for the next
+round — see PROGRESS.md item 1). The production kernel is poseidon_pallas.
+
+The v1 kernel (ops/poseidon_pallas) stores a field element as an
+(18, TILE) tensor; limb-shift accumulations become cross-sublane
+concatenations, which Mosaic lowers to relayout traffic. Here a field
+element is a *Python list* of 18 per-limb arrays, each one (SUB, 128)
+vreg-shaped block: limb shifts are list re-indexing (free at trace time),
+every emitted op is a pure lane-wise VPU instruction, and all multiply
+constants (p, N', K, MDS) embed as immediate scalars.
+
+Same redundant 15-bit-limb Montgomery scheme as ops/poseidon_fast.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import field as F
+from . import poseidon as P_ref
+from . import poseidon_fast as PF
+
+P = F.FR_MOD
+NL = PF.NLIMBS
+LOW = PF.LOW
+MASK = PF.MASK
+LB = PF.LIMB_BITS
+
+SUB = 8
+LANE = 128
+TILE = SUB * LANE
+
+
+def _limbs_of(x: int, n: int) -> list[int]:
+    return [(x >> (LB * i)) & MASK for i in range(n)]
+
+
+_NP15 = _limbs_of(PF.NPRIME15, LOW)
+_P15 = _limbs_of(P, LOW)
+_K15 = _limbs_of(PF.R15 % P, LOW)
+_MDS = [[_limbs_of((c * PF.R15) % P, NL) for c in row] for row in P_ref.MDS]
+_RC = np.stack(
+    [
+        np.stack(
+            [
+                np.array(_limbs_of((c * PF.R15) % P, NL), dtype=np.uint32)
+                for c in row
+            ]
+        )
+        for row in P_ref.ROUND_CONSTANTS
+    ]
+).astype(np.uint32)
+
+
+def _fold(cols: list) -> list:
+    lo = [c & MASK for c in cols]
+    hi = [c >> LB for c in cols]
+    out = [lo[0]]
+    for i in range(1, len(cols)):
+        out.append(lo[i] + hi[i - 1])
+    out.append(hi[-1])
+    return out
+
+
+def _mul_const(a: list, b: list[int], out_limbs: int) -> list:
+    """Column products of limb-list a with an immediate constant b."""
+    zero = jnp.zeros_like(a[0])
+    acc = [zero] * out_limbs
+    for j, bj in enumerate(b):
+        if bj == 0 or j >= out_limbs:
+            continue
+        for i, ai in enumerate(a):
+            k = i + j
+            if k >= out_limbs:
+                break
+            prod = ai * bj
+            acc[k] = acc[k] + (prod & MASK)
+            if k + 1 < out_limbs:
+                acc[k + 1] = acc[k + 1] + (prod >> LB)
+    return acc
+
+
+def _mul_dyn(a: list, b: list) -> list:
+    zero = jnp.zeros_like(a[0])
+    out_limbs = len(a) + len(b)
+    acc = [zero] * out_limbs
+    for j, bj in enumerate(b):
+        for i, ai in enumerate(a):
+            prod = ai * bj
+            k = i + j
+            acc[k] = acc[k] + (prod & MASK)
+            acc[k + 1] = acc[k + 1] + (prod >> LB)
+    return acc
+
+
+def _redc(t: list) -> list:
+    m = _fold(_mul_const(t[:LOW], _NP15, LOW))[:LOW]
+    mn = _mul_const(m, _P15, 2 * NL)
+    s = [a + b for a, b in zip(t[: 2 * NL], mn)]
+    s = _fold(_fold(s))
+    nz = s[0]
+    for c in s[1:LOW]:
+        nz = nz | c
+    carry = (nz != 0).astype(jnp.uint32)
+    out = [s[LOW] + carry] + s[LOW + 1 : LOW + NL]
+    # congruence fold of the top limb
+    kpart = [out[LOW] * k for k in _K15]
+    low = [a + b for a, b in zip(out[:LOW], kpart)]
+    return _fold(low)[:NL]
+
+
+def _mont_mul(a: list, b: list) -> list:
+    return _redc(_fold(_mul_dyn(a, b)))
+
+
+def _mont_mul_const(a: list, c: list[int]) -> list:
+    return _redc(_fold(_mul_const(a, c, 2 * NL)))
+
+
+def _add(a: list, b: list) -> list:
+    return _fold([x + y for x, y in zip(a, b)])[:NL]
+
+
+def _pow5(x: list) -> list:
+    x2 = _mont_mul(x, x)
+    x4 = _mont_mul(x2, x2)
+    return _mont_mul(x4, x)
+
+
+def _mds_layer(a: list, b: list):
+    n0 = _add(_mont_mul_const(a, _MDS[0][0]), _mont_mul_const(b, _MDS[0][1]))
+    n1 = _add(_mont_mul_const(a, _MDS[1][0]), _mont_mul_const(b, _MDS[1][1]))
+    return n0, n1
+
+
+def _permute_kernel(rc_ref, s0_ref, s1_ref, o0_ref, o1_ref):
+    def read(ref):
+        return [ref[i] for i in range(NL)]
+
+    def rc_limbs(r, word):
+        return [rc_ref[r, word, i] for i in range(NL)]
+
+    def add_rc(x, r, word):
+        rc = rc_limbs(r, word)
+        return _fold([xi + ri for xi, ri in zip(x, rc)])[:NL]
+
+    def full_round(r, state):
+        s0, s1 = state
+        s0 = _pow5(add_rc(s0, r, 0))
+        s1 = _pow5(add_rc(s1, r, 1))
+        return _mds_layer(s0, s1)
+
+    def partial_round(r, state):
+        s0, s1 = state
+        s0 = _pow5(add_rc(s0, r, 0))
+        s1 = add_rc(s1, r, 1)
+        return _mds_layer(s0, s1)
+
+    state = (read(s0_ref), read(s1_ref))
+    state = jax.lax.fori_loop(0, 4, full_round, state)
+    state = jax.lax.fori_loop(4, 60, partial_round, state)
+    state = jax.lax.fori_loop(60, 64, full_round, state)
+    s0, s1 = state
+    for i in range(NL):
+        o0_ref[i] = s0[i]
+        o1_ref[i] = s1[i]
+
+
+_INTERPRET = bool(os.environ.get("CIRCUITS_TPU_PALLAS_INTERPRET")) or not any(
+    d.platform in ("tpu", "axon") for d in jax.devices()
+)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def permute_tiles(s0: jax.Array, s1: jax.Array):
+    """s0, s1: (NL, M, LANE) with M % SUB == 0."""
+    m = s0.shape[1]
+    grid = (m // SUB,)
+    rc = jnp.asarray(_RC)
+    return pl.pallas_call(
+        _permute_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((64, 2, NL), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NL, m, LANE), jnp.uint32),
+            jax.ShapeDtypeStruct((NL, m, LANE), jnp.uint32),
+        ],
+        interpret=_INTERPRET,
+    )(rc, s0, s1)
+
+
+def hash_batch_pallas2(inputs: jax.Array) -> jax.Array:
+    """(L, NL, N) fat limbs, N % TILE == 0 → (NL, N) digests."""
+    length, _, n = inputs.shape
+    m = n // LANE
+    x = inputs.reshape(length, NL, m, LANE)
+    s0 = jnp.zeros((NL, m, LANE), jnp.uint32)
+    cap_int = (length << 64) * PF.R15 % P
+    cap = jnp.asarray(
+        np.array(_limbs_of(cap_int, NL), dtype=np.uint32).reshape(NL, 1, 1)
+    )
+    s1 = jnp.broadcast_to(cap, (NL, m, LANE)).astype(jnp.uint32)
+    for i in range(length):
+        s0 = _host_add(s0, x[i])
+        s0, s1 = permute_tiles(s0, s1)
+    return s0.reshape(NL, n)
+
+
+@jax.jit
+def _host_add(a, b):
+    s = a + b
+    lo = s & MASK
+    hi = s >> LB
+    return lo.at[1:].add(hi[:-1])  # top carry provably zero
+
+
+def hash_many_pallas2(messages: list[list[int]]) -> list[int]:
+    length = len(messages[0])
+    n = len(messages)
+    pad = (-n) % TILE
+    arr = np.zeros((length, NL, n + pad), dtype=np.uint32)
+    for j, msg in enumerate(messages):
+        for i, w in enumerate(msg):
+            arr[i, :, j] = PF.int_to_limbs15((w % P) * PF.R15 % P)
+    out = np.asarray(hash_batch_pallas2(jnp.asarray(arr)))[:, :n]
+    return [(v * PF.R15_INV) % P for v in PF.limbs15_to_ints(out)]
