@@ -45,8 +45,12 @@ def main() -> None:
     )
     arr[:, PF.LOW :, :] = 0  # values < 2^255/2
 
-    impl = os.environ.get("BENCH_IMPL", "pallas")
-    if impl == "pallas":
+    impl = os.environ.get("BENCH_IMPL", "pallas2")
+    if impl == "pallas2":
+        from circuits_halo2_tpu.ops import poseidon_pallas2 as PPL2
+
+        fn = jax.jit(PPL2.hash_batch_pallas2)
+    elif impl == "pallas":
         from circuits_halo2_tpu.ops import poseidon_pallas as PPL
 
         fn = jax.jit(PPL.hash_batch_pallas)
@@ -68,7 +72,11 @@ def main() -> None:
 
     # timing loop inside one jit dispatch (lax.scan with data dependency):
     # measures device throughput, not per-dispatch tunnel latency.
-    if impl == "pallas":
+    if impl == "pallas2":
+        from circuits_halo2_tpu.ops import poseidon_pallas2 as PPL2
+
+        hash_fn = PPL2.hash_batch_pallas2
+    elif impl == "pallas":
         from circuits_halo2_tpu.ops import poseidon_pallas as PPL
 
         hash_fn = PPL.hash_batch_pallas
