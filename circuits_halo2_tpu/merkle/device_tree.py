@@ -119,15 +119,36 @@ def build_device_tree(
     depth = (n - 1).bit_length()
     assert n == 1 << depth
 
-    hash_fn = PPL2.hash_batch_pallas2 if use_pallas else PF.hash_batch15
-    pad = (-n) % PPL2.TILE if use_pallas else 0
+    base_fn = PPL2.hash_batch_pallas2 if use_pallas else PF.hash_batch15
+    # fixed chunk widths → a small closed set of compiled shapes regardless
+    # of tree size (each new shape costs minutes through the remote compiler)
+    chunks = (8192, PPL2.TILE) if use_pallas else (8192, 256)
+
+    def hash_fn(x):
+        n_in = x.shape[-1]
+        outs = []
+        ofs = 0
+        while ofs < n_in:
+            remaining = n_in - ofs
+            size = next((c for c in chunks if c <= remaining), chunks[-1])
+            piece = x[..., ofs : ofs + size]
+            if piece.shape[-1] < size:  # tail: pad up to the smallest chunk
+                piece = jnp.concatenate(
+                    [
+                        piece,
+                        jnp.zeros(
+                            piece.shape[:-1] + (size - piece.shape[-1],),
+                            jnp.uint32,
+                        ),
+                    ],
+                    axis=-1,
+                )
+            outs.append(base_fn(piece))
+            ofs += size
+        return jnp.concatenate(outs, axis=-1)[..., :n_in] if len(outs) > 1 else outs[0][..., :n_in]
 
     def padded(x):
-        if pad == 0:
-            return x
-        return jnp.concatenate(
-            [x, jnp.zeros(x.shape[:-1] + (pad,), jnp.uint32)], axis=-1
-        )
+        return x  # chunking handles shapes
 
     user_limbs = _to_mont_dev(jnp.asarray(digests_to_limbs15(hashed_usernames)))
     bal_limbs = [
