@@ -39,6 +39,9 @@ def bench_build(log2_leaves: int):
     balances = rng.integers(0, 1 << 48, size=(n, 2), dtype=np.uint64)
 
     use_pallas = os.environ.get("JAX_PLATFORMS", "") != "cpu"
+    # warm-up run: Mosaic kernels compile per process (the remote compile
+    # service is not covered by the persistent cache)
+    build_device_tree(digests, balances, use_pallas=use_pallas).root()
     t0 = time.perf_counter()
     tree = build_device_tree(digests, balances, use_pallas=use_pallas)
     root = tree.root()

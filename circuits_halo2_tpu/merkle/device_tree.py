@@ -18,6 +18,8 @@ build (`zk_prover/src/merkle_sum_tree/utils/build_tree.rs`) for the
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -119,7 +121,9 @@ def build_device_tree(
     depth = (n - 1).bit_length()
     assert n == 1 << depth
 
-    base_fn = PPL2.hash_batch_pallas2 if use_pallas else PF.hash_batch15
+    # whole-chunk jit: one device dispatch per chunk (the tunnel's per-op
+    # latency dominates otherwise); inner pallas calls inline.
+    base_fn = _jitted_hash(use_pallas)
     # fixed chunk widths → a small closed set of compiled shapes regardless
     # of tree size (each new shape costs minutes through the remote compiler)
     chunks = (8192, PPL2.TILE) if use_pallas else (8192, 256)
@@ -175,6 +179,12 @@ def build_device_tree(
         level_balances.append(sums)
 
     return DeviceMst(level_hashes, level_balances, depth, ncur)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_hash(use_pallas: bool):
+    fn = PPL2.hash_batch_pallas2 if use_pallas else PF.hash_batch15
+    return jax.jit(fn)
 
 
 @jax.jit
