@@ -77,19 +77,24 @@ class ParamsKZG:
         for _ in range(n):
             g.append(C.g1_mul(gen, acc))
             acc = acc * s % F.FR_MOD
-        # L_i(s) = (s^n - 1) / (n (s - w^i))
+        # L_i(s) = w^i (s^n - 1) / (n (s - w^i))
         omega = F.fr_pow(F.FR_ROOT_OF_UNITY, 1 << (F.FR_TWO_ADICITY - k))
         sn_minus_1 = (F.fr_pow(s, n) - 1) % F.FR_MOD
         n_inv = F.fr_inv(n)
         denoms = []
+        omega_pows = []
         w_i = 1
         for _ in range(n):
             denoms.append((s - w_i) % F.FR_MOD)
+            omega_pows.append(w_i)
             w_i = w_i * omega % F.FR_MOD
         denom_invs = F.batch_inv(denoms)
         g_lagrange = [
-            C.g1_mul(gen, sn_minus_1 * n_inv % F.FR_MOD * di % F.FR_MOD)
-            for di in denom_invs
+            C.g1_mul(
+                gen,
+                sn_minus_1 * n_inv % F.FR_MOD * w % F.FR_MOD * di % F.FR_MOD,
+            )
+            for w, di in zip(omega_pows, denom_invs)
         ]
         g2 = C.G2_GEN
         s_g2 = C.g2_mul(g2, s)
