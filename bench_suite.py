@@ -56,6 +56,147 @@ def bench_build(log2_leaves: int):
     return root
 
 
+def bench_msm(log2_points: int):
+    """North-star metric: MSM points/sec on device (BASELINE.md §north-star).
+
+    Measures the batched device Pippenger over a random base set (the SRS
+    case: bases fixed, scalars fresh per call). Reports steady-state
+    points/sec including host digit prep, excluding base precompute.
+    """
+    import random
+
+    from circuits_halo2_tpu.ops import curve as C
+    from circuits_halo2_tpu.ops import field as F
+    from circuits_halo2_tpu.ops import msm as M
+
+    n = 1 << log2_points
+    rng = random.Random(7)
+    # distinct small multiples are as good as random points for timing and
+    # far cheaper to generate host-side
+    base = [C.g1_mul(C.G1_GEN, rng.randrange(1, F.FR_MOD)) for _ in range(64)]
+    points = [base[i % 64] for i in range(n)]
+    nbatch = int(os.environ.get("BENCH_MSM_BATCH", 4))
+    rows = [[rng.randrange(F.FR_MOD) for _ in range(n)] for _ in range(nbatch)]
+    M.precompute_bases(points)
+    res = M.msm_pippenger_device(points, rows)  # compile + warm
+    t0 = time.perf_counter()
+    res = M.msm_pippenger_device(points, rows)
+    dt = time.perf_counter() - t0
+    emit(
+        f"msm_pippenger_2^{log2_points}x{nbatch}",
+        dt,
+        "s",
+        {"points_per_sec": round(n * nbatch / dt, 1)},
+    )
+    # spot-check one row against the host Pippenger (small prefix identity
+    # would not exercise the device path; full row is too slow on host for
+    # big n, so check at n <= 4096 only)
+    if n <= 4096:
+        assert res[0] == C.g1_msm_pippenger(points, rows[0]), "device/host MSM mismatch"
+
+
+def bench_ntt(log2_n: int):
+    """North-star metric: NTT butterflies/sec on device."""
+    import random
+
+    import jax
+    import numpy as np
+
+    from circuits_halo2_tpu.ops import field as F
+    from circuits_halo2_tpu.ops import field_jax as FJ
+    from circuits_halo2_tpu.ops import ntt as NTT
+
+    n = 1 << log2_n
+    rng = random.Random(11)
+    omega = NTT.omega_for_k(log2_n)
+    vals = [rng.randrange(F.FR_MOD) for _ in range(n)]
+    a = jax.numpy.asarray(FJ.ints_to_limbs([(v << 256) % F.FR_MOD for v in vals]))
+    out = NTT.ntt(a, omega)
+    out.block_until_ready()
+    iters = int(os.environ.get("BENCH_NTT_ITERS", 8))
+    t0 = time.perf_counter()
+    x = a
+    for _ in range(iters):
+        x = NTT.ntt(x, omega)
+    x.block_until_ready()
+    dt = time.perf_counter() - t0
+    butterflies = (n // 2) * log2_n * iters
+    emit(
+        f"ntt_2^{log2_n}",
+        dt / iters,
+        "s",
+        {"butterflies_per_sec": round(butterflies / dt, 1)},
+    )
+    # correctness spot-check vs host path on a small transform
+    small = vals[:256]
+    om_s = NTT.omega_for_k(8)
+    a_s = jax.numpy.asarray(FJ.ints_to_limbs([(v << 256) % F.FR_MOD for v in small]))
+    dev = FJ.limbs_to_ints(np.asarray(NTT.ntt(a_s, om_s)))
+    rinv = pow(1 << 256, -1, F.FR_MOD)
+    dev = [v * rinv % F.FR_MOD for v in dev]
+    assert dev == NTT.ntt_host(small, om_s), "device/host NTT mismatch"
+
+
+def bench_criterion():
+    """The reference criterion suite config: LEVELS=20 (2^20 entries),
+    N_CURRENCIES=1, N_BYTES=8, k=13 (`zk_prover/benches/
+    full_solvency_flow.rs:13-16`). Stages: tree build (device), keygen,
+    create_proof, verify_proof (+ proof size)."""
+    import numpy as np
+
+    from circuits_halo2_tpu.merkle.device_tree import build_device_tree
+    from circuits_halo2_tpu.merkle.mst import Entry
+    from circuits_halo2_tpu.models.mst_inclusion import MstInclusionCircuit
+    from circuits_halo2_tpu.utils import pipeline
+    from circuits_halo2_tpu.utils.srs import ParamsKZG
+
+    levels, ncur, nbytes, k = 20, 1, 8, 13
+    n = 1 << levels
+
+    entry0 = Entry("dxGaEAii", [11888])
+    rng = np.random.default_rng(0)
+    digests = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+    digests[0] = np.frombuffer(
+        entry0.hashed_username.to_bytes(32, "big"), dtype=np.uint8
+    )
+    balances = rng.integers(0, 1 << 48, size=(n, ncur), dtype=np.uint64)
+    balances[0, 0] = entry0.balances[0]
+
+    use_pallas = os.environ.get("JAX_PLATFORMS", "") != "cpu"
+    build_device_tree(digests[:4096], balances[:4096], use_pallas=use_pallas).root()
+    t0 = time.perf_counter()
+    tree = build_device_tree(digests, balances, use_pallas=use_pallas)
+    tree.root()
+    emit("criterion_build_2^20", time.perf_counter() - t0, "s")
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    srs_cache = os.path.join(here, ".bench_srs_k13.bin")
+    if not os.path.exists(srs_cache):
+        ParamsKZG.setup(k).write(srs_cache)
+
+    t0 = time.perf_counter()
+    art = pipeline.generate_setup_artifacts(k, srs_cache, levels, ncur, nbytes)
+    emit("criterion_keygen_k13", time.perf_counter() - t0, "s")
+
+    proof_w = tree.generate_proof(0, entry0)
+    circuit = MstInclusionCircuit.init(levels, ncur, nbytes, proof_w)
+    instances = circuit.instances()
+
+    t0 = time.perf_counter()
+    proof = pipeline.full_prover(art, circuit, instances)
+    emit(
+        "criterion_prove_k13",
+        time.perf_counter() - t0,
+        "s",
+        {"proof_bytes": len(proof)},
+    )
+
+    t0 = time.perf_counter()
+    ok = pipeline.full_verifier(art, proof, instances)
+    emit("criterion_verify_k13", time.perf_counter() - t0, "s", {"ok": ok})
+    assert ok, "criterion proof failed to verify"
+
+
 def _setup():
     from circuits_halo2_tpu.utils import pipeline
 
@@ -74,6 +215,15 @@ def main():
 
     if "build" in stages:
         bench_build(log2)
+
+    if "msm" in stages:
+        bench_msm(int(os.environ.get("BENCH_MSM_LOG2", 13)))
+
+    if "ntt" in stages:
+        bench_ntt(int(os.environ.get("BENCH_NTT_LOG2", 15)))
+
+    if "criterion" in stages:
+        bench_criterion()
 
     if not ({"keygen", "prove", "verify"} & set(stages)):
         return

@@ -92,11 +92,18 @@ def _to_mont_dev(raw: jax.Array) -> jax.Array:
 class DeviceMst:
     """Full MST levels as device limb tensors (hashes + balance sums)."""
 
-    def __init__(self, level_hashes, level_balances, depth, n_currencies):
+    def __init__(self, level_hashes, level_balances, depth, n_currencies,
+                 user_limbs=None):
         self.level_hashes = level_hashes      # [(NL, n_l)] fat Montgomery
         self.level_balances = level_balances  # [(C, NL, n_l)]
         self.depth = depth
         self.n_currencies = n_currencies
+        self.user_limbs = user_limbs          # (NL, n) leaf username hashes
+
+    @staticmethod
+    def _val(col) -> int:
+        """(NL, 1) fat-Montgomery limb column → canonical integer."""
+        return PF.limbs15_to_ints(np.asarray(col))[0] * PF.R15_INV % P
 
     def root(self):
         """(root_hash, [root_balances]) as canonical integers."""
@@ -108,6 +115,47 @@ class DeviceMst:
             for c in range(self.n_currencies)
         ]
         return h * PF.R15_INV % P, bals
+
+    def generate_proof(self, index: int, entry):
+        """MerkleProof for leaf `index` (mirrors merkle/mst.py
+        `MerkleSumTree.generate_proof`, reference `tree.rs:85-137`).
+
+        `entry` is the host Entry for the leaf (usernames are not stored
+        on device; the caller keeps them). O(depth) host conversions.
+        """
+        from .mst import MerkleProof, Node
+
+        assert self.user_limbs is not None, "tree built without user limbs"
+        c = self.n_currencies
+        sib = index ^ 1
+        sibling_leaf_preimage = [self._val(self.user_limbs[:, sib : sib + 1])] + [
+            self._val(self.level_balances[0][i, :, sib : sib + 1])
+            for i in range(c)
+        ]
+        middles = []
+        path = []
+        for level in range(self.depth):
+            cur = index >> level
+            path.append(cur & 1)
+            if level >= 1:
+                s = cur ^ 1
+                bal = [
+                    self._val(self.level_balances[level][i, :, s : s + 1])
+                    for i in range(c)
+                ]
+                lh = self._val(self.level_hashes[level - 1][:, 2 * s : 2 * s + 1])
+                rh = self._val(
+                    self.level_hashes[level - 1][:, 2 * s + 1 : 2 * s + 2]
+                )
+                middles.append(bal + [lh, rh])
+        root_h, root_b = self.root()
+        return MerkleProof(
+            entry=entry,
+            root=Node(root_h, root_b),
+            sibling_leaf_node_hash_preimage=sibling_leaf_preimage,
+            sibling_middle_node_hash_preimages=middles,
+            path_indices=path,
+        )
 
 
 def build_device_tree(
@@ -178,7 +226,7 @@ def build_device_tree(
         level_hashes.append(new_h)
         level_balances.append(sums)
 
-    return DeviceMst(level_hashes, level_balances, depth, ncur)
+    return DeviceMst(level_hashes, level_balances, depth, ncur, user_limbs)
 
 
 @functools.lru_cache(maxsize=None)

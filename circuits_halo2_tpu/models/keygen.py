@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 from ..ops import curve as C
 from ..ops import field as F
+from ..ops import msm as MSM
 from ..ops import ntt as NTT
 from ..utils.srs import ParamsKZG
 from .assignment import Assignment
@@ -122,12 +123,8 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, asn: Assignment):
     assembly = build_permutation(cs, asn)
     sigma_values = assembly.sigmas(omega)
 
-    fixed_commitments = [
-        C.g1_msm_pippenger(params.g_lagrange, col) for col in fixed_values
-    ]
-    permutation_commitments = [
-        C.g1_msm_pippenger(params.g_lagrange, col) for col in sigma_values
-    ]
+    fixed_commitments = MSM.msm_auto_batch(params.g_lagrange, fixed_values)
+    permutation_commitments = MSM.msm_auto_batch(params.g_lagrange, sigma_values)
 
     vk = VerifyingKey(
         k,
@@ -146,8 +143,10 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, asn: Assignment):
     # digest explicitly; see models/pinning.py.
     vk.transcript_repr = _repr(vk)
 
-    fixed_polys = [NTT.intt_host(col, omega) for col in fixed_values]
-    sigma_polys = [NTT.intt_host(col, omega) for col in sigma_values]
+    from ..utils.poly_device import intt_cols
+
+    fixed_polys = intt_cols(fixed_values, omega)
+    sigma_polys = intt_cols(sigma_values, omega)
 
     blinders = cs.blinding_factors()
     usable = n - blinders - 1
@@ -159,12 +158,13 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, asn: Assignment):
     for row in range(usable, n):
         l_active[row] = 0
 
+    l0_poly, l_last_poly = intt_cols([l0_evals, l_last_evals], omega)
     pk = ProvingKey(
         vk,
         fixed_polys,
         sigma_polys,
-        NTT.intt_host(l0_evals, omega),
-        NTT.intt_host(l_last_evals, omega),
+        l0_poly,
+        l_last_poly,
         l_active,
     )
     return vk, pk

@@ -25,6 +25,7 @@ import hashlib
 
 from ..ops import curve as C
 from ..ops import field as F
+from ..ops import msm as MSM
 from ..utils.srs import ParamsKZG
 from ..utils.transcript import KeccakTranscript
 from ..utils import poly_device
@@ -125,8 +126,8 @@ def prove(
     instance_vals = [list(col) for col in asn.instance]
     fixed = vk.fixed_values
 
-    for col in advice:
-        t.write_point(C.g1_msm_pippenger(params.g_lagrange, col))
+    for pt in MSM.msm_auto_batch(params.g_lagrange, advice):
+        t.write_point(pt)
     theta = t.squeeze_challenge()
 
     # ---- phase 2: permuted lookup columns ---------------------------------
@@ -174,8 +175,10 @@ def prove(
         lookups.append(
             {"a": a_comp, "s": s_comp, "a_perm": a_perm, "s_perm": s_perm}
         )
-        t.write_point(C.g1_msm_pippenger(params.g_lagrange, a_perm))
-        t.write_point(C.g1_msm_pippenger(params.g_lagrange, s_perm))
+    lk_rows = [c for lk in lookups for c in (lk["a_perm"], lk["s_perm"])]
+    if lk_rows:
+        for pt in MSM.msm_auto_batch(params.g_lagrange, lk_rows):
+            t.write_point(pt)
 
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
@@ -217,7 +220,6 @@ def prove(
         for row in range(usable + 1, n):
             z[row] = rng.next_field()
         perm_zs.append(z)
-        t.write_point(C.g1_msm_pippenger(params.g_lagrange, z))
 
     lookup_zs = []
     for lk in lookups:
@@ -235,10 +237,12 @@ def prove(
         for row in range(usable + 1, n):
             z[row] = rng.next_field()
         lookup_zs.append(z)
-        t.write_point(C.g1_msm_pippenger(params.g_lagrange, z))
+
+    for pt in MSM.msm_auto_batch(params.g_lagrange, perm_zs + lookup_zs):
+        t.write_point(pt)
 
     random_poly = [rng.next_field() for _ in range(n)]
-    t.write_point(C.g1_msm_pippenger(params.g, random_poly))
+    t.write_point(MSM.msm_auto(params.g, random_poly))
     y = t.squeeze_challenge()
 
     # ---- phase 4: quotient on the extended domain (device) ----------------
@@ -410,8 +414,8 @@ def prove(
     num_h = cs.degree() - 1
     assert all(c == 0 for c in h_coeffs[num_h * n :]), "quotient degree overflow"
     h_pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(num_h)]
-    for piece in h_pieces:
-        t.write_point(C.g1_msm_pippenger(params.g, piece))
+    for pt in MSM.msm_auto_batch(params.g, h_pieces):
+        t.write_point(pt)
     x = t.squeeze_challenge()
 
     # ---- phase 5: evaluations ---------------------------------------------
@@ -524,7 +528,7 @@ def prove(
             h_x[i] = (h_x[i] + nu_pow * c) % P
         nu_pow = nu_pow * nu % P
 
-    t.write_point(C.g1_msm_pippenger(params.g, h_x))
+    t.write_point(MSM.msm_auto(params.g, h_x))
     mu = t.squeeze_challenge()
 
     universe = list(point_of.values())
@@ -563,6 +567,6 @@ def prove(
         l_poly[i] = (l_poly[i] - z0_mu * c) % P
 
     w_prime = _divide_linear(l_poly, mu)
-    t.write_point(C.g1_msm_pippenger(params.g, w_prime))
+    t.write_point(MSM.msm_auto(params.g, w_prime))
 
     return t.finalize()

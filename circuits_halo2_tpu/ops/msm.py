@@ -21,6 +21,7 @@ limb tensor; Z = 0 encodes infinity.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,53 @@ def jac_add(p, q):
     x3 = sel(p_inf, x2, sel(q_inf, x1, x3))
     y3 = sel(p_inf, y2, sel(q_inf, y1, y3))
     z3 = sel(p_inf, z2, sel(q_inf, z1, z3))
+    return (x3, y3, z3)
+
+
+def jac_madd(p, q):
+    """Mixed addition: Jacobian p + affine q (madd-2007-bl), where q is
+    (x2, y2, valid) with implicit Z2 = 1 and valid=False meaning infinity.
+    ~11 field muls vs ~16 for the general add — used in the serial bucket-
+    accumulation scan where every added element is an original base point."""
+    x1, y1, z1 = p
+    x2, y2, valid = q
+    z1z1 = _mm(z1, z1)
+    u2 = _mm(x2, z1z1)
+    s2 = _mm(_mm(y2, z1), z1z1)
+    h = _sub(u2, x1)
+    hh = _mm(h, h)
+    i = _dbl_f(_dbl_f(hh))
+    j = _mm(h, i)
+    rr = _dbl_f(_sub(s2, y1))
+    v = _mm(x1, i)
+    x3 = _sub(_sub(_mm(rr, rr), j), _dbl_f(v))
+    y3 = _sub(_mm(rr, _sub(v, x3)), _dbl_f(_mm(y1, j)))
+    z1h = _add(z1, h)
+    z3 = _sub(_sub(_mm(z1h, z1h), z1z1), hh)
+
+    p_inf = FJ.is_zero(z1)
+    h_zero = FJ.is_zero(h)
+    r_zero = FJ.is_zero(rr)
+    q_inf = ~valid
+    dbl = jac_double(p)
+
+    one = jnp.broadcast_to(
+        FJ._bc(FQ.one_mont, x2.ndim), x2.shape
+    ).astype(x2.dtype)
+
+    sel = FJ.select
+    use_dbl = h_zero & r_zero & ~p_inf & ~q_inf
+    to_inf = h_zero & ~r_zero & ~p_inf & ~q_inf
+    x3 = sel(use_dbl, dbl[0], x3)
+    y3 = sel(use_dbl, dbl[1], y3)
+    z3 = sel(use_dbl, dbl[2], z3)
+    z3 = sel(to_inf, jnp.zeros_like(z3), z3)
+    x3 = sel(p_inf, x2, x3)
+    y3 = sel(p_inf, y2, y3)
+    z3 = sel(p_inf, one, z3)
+    x3 = sel(q_inf, x1, x3)
+    y3 = sel(q_inf, y1, y3)
+    z3 = sel(q_inf, z1, z3)
     return (x3, y3, z3)
 
 
@@ -204,3 +252,322 @@ def msm(points, scalars):
         )
         acc = C.g1_add(acc, part)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Device Pippenger (the production MSM path)
+# ---------------------------------------------------------------------------
+#
+# TPU-shaped bucket method (`best_multiexp` equivalent, SURVEY.md §2b):
+#
+#   1. 8-bit windows aligned on scalar bytes → digits (B, W=32, n) int32.
+#   2. Per (msm, window): argsort points by digit, gather coords — every
+#      bucket's members become one contiguous segment.
+#   3. Segmented inclusive scan (Hillis–Steele: log2(n) full-width Jacobian
+#      adds with shifted operands) → each segment end holds its bucket sum.
+#      No scatter of EC values is ever needed (Mosaic/XLA scatter-add of
+#      custom semirings doesn't exist); only int32 indices are scattered.
+#   4. Bucket sums pulled into a (B, W, 256) table by index scatter+gather;
+#      Σ b·B_b computed as Σ_k suffix_k via a suffix scan + tree sum.
+#   5. Horner fold over windows: acc = 2^8·acc + S_w (lax.scan, width B).
+#
+# Everything from 2-5 is one jit with static (n, B); bases are converted to
+# Montgomery limb tensors once per SRS and cached (precompute_bases).
+
+WINDOW = 8
+NWIN = 32  # 256 bits / 8
+
+
+def _log_steps(n: int) -> jnp.ndarray:
+    """[1, 2, 4, …] covering spans up to n, as a scan input."""
+    return jnp.asarray([1 << i for i in range(max(1, (n - 1).bit_length()))],
+                       dtype=jnp.int32)
+
+
+def _roll_scan(p, n: int, direction: int, seg=None):
+    """Hillis–Steele log-depth Jacobian sum scan along the last axis.
+
+    Each of the log2(n) steps rolls the tensors by a *traced* shift ``d``
+    and adds; rolled-around (or cross-segment, when ``seg`` is given) lanes
+    are masked to the EC identity (z=0), which ``jac_add`` absorbs. Using a
+    ``lax.scan`` over shifts keeps exactly ONE ``jac_add`` in the compiled
+    graph regardless of n — compile time stays flat as n grows (the naive
+    unrolled version took minutes of XLA time per shape).
+
+    direction=+1: inclusive prefix scan (last lane of each segment holds the
+    segment sum). direction=-1: inclusive suffix scan.
+    """
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(carry, d):
+        prev = tuple(jnp.roll(c, direction * d, axis=-1) for c in carry)
+        if direction > 0:
+            valid = idx >= d
+        else:
+            valid = idx < n - d
+        if seg is not None:
+            valid = valid & (jnp.roll(seg, direction * d, axis=-1) == seg)
+        pz = jnp.where(valid, prev[2], jnp.zeros_like(prev[2]))
+        return jac_add(carry, (prev[0], prev[1], pz)), None
+
+    out, _ = jax.lax.scan(body, p, _log_steps(n))
+    return out
+
+
+def _seg_chunk_len(n: int) -> int:
+    """Serial chunk length for the two-level segmented scan."""
+    return min(256, n // 64)
+
+
+def _segmented_sum_parts(px, py, pvalid, seg):
+    """Two-level segmented bucket accumulation over sorted affine points.
+
+    px, py: (16, …, n) affine Montgomery coords (sorted by digit);
+    pvalid: (…, n) bool (False = point at infinity); seg: (…, n) sorted
+    int32 digits. Returns ``(local, carry, carry_seg, L)`` where
+
+    - ``local``  ((16,…,n),)×3 Jacobian: the *chunk-local* inclusive
+      segmented sums (chunks of length L),
+    - ``carry``  ((16,…,n/L),)×3: for each chunk, the Jacobian sum carried
+      into it by its leading segment when that segment spans chunks,
+    - ``carry_seg`` (…, n/L): the segment id the carry belongs to.
+
+    The caller folds ``carry`` in only where it needs exact values (the
+    per-bucket segment ends) — O(buckets) instead of O(n) extra adds.
+    Phase 1 is a serial ``lax.scan`` of mixed (Jacobian+affine) adds: O(n)
+    lane-work total, log-free; phase 2 is a log-depth scan over the n/L
+    chunk totals. (The naive Hillis–Steele costs O(n·log n) full adds.)
+    """
+    n = seg.shape[-1]
+    L = _seg_chunk_len(n)
+    assert L >= 4, "point count too small for the chunked scan"
+    nchunk = n // L
+
+    shp = px.shape[:-1] + (nchunk, L)
+    xs = px.reshape(shp)
+    ys = py.reshape(shp)
+    vs = pvalid.reshape(pvalid.shape[:-1] + (nchunk, L))
+    segc = seg.reshape(seg.shape[:-1] + (nchunk, L))
+    xs_t = jnp.moveaxis(xs, -1, 0)                         # (L,16,…,nchunk)
+    ys_t = jnp.moveaxis(ys, -1, 0)
+    vs_t = jnp.moveaxis(vs, -1, 0)                         # (L,…,nchunk)
+    seg_t = jnp.moveaxis(segc, -1, 0)
+
+    def body(carry, inp):
+        cx, cy, cz, cseg = carry
+        ex, ey, ev, eseg = inp
+        cz = jnp.where((eseg == cseg)[None], cz, jnp.zeros_like(cz))
+        nx, ny, nz = jac_madd((cx, cy, cz), (ex, ey, ev))
+        return (nx, ny, nz, eseg), (nx, ny, nz)
+
+    zero = jnp.zeros_like(xs_t[0])
+    init = (zero, zero, zero, jnp.full_like(seg_t[0], -1))
+    _, out = jax.lax.scan(body, init, (xs_t, ys_t, vs_t, seg_t))
+    local = tuple(jnp.moveaxis(y, 0, -1) for y in out)     # (16,…,nchunk,L)
+
+    # cross-chunk carry: exclusive segmented scan over chunk totals
+    last_vals = tuple(c[..., -1] for c in local)           # (16,…,nchunk)
+    last_seg = segc[..., -1]                               # (…,nchunk)
+    inc = _roll_scan(last_vals, nchunk, +1, seg=last_seg)
+    carry = tuple(jnp.roll(c, 1, axis=-1) for c in inc)
+    carry_seg = jnp.where(
+        jnp.arange(nchunk) > 0, jnp.roll(last_seg, 1, axis=-1), -1
+    )
+    local = tuple(c.reshape(px.shape) for c in local)
+    return local, carry, carry_seg, L
+
+
+def _suffix_sum_scan(p):
+    """Inclusive suffix sums along the last axis (length must be 2^k)."""
+    return _roll_scan(p, p[0].shape[-1], -1)
+
+
+def _tree_sum_last(p):
+    """Jacobian sum along the (power-of-two) last axis → size 1."""
+    total = _roll_scan(p, p[0].shape[-1], +1)
+    return tuple(c[..., -1:] for c in total)
+
+
+def _pippenger_core(xs, ys, valid, digits):
+    """Shape-polymorphic Pippenger body (trace-time shapes; reused by the
+    jitted single-device wrapper and by the shard_map distributed path).
+
+    xs, ys: (16, n) affine Montgomery Fq coords; valid: (n,) bool (False =
+    point at infinity); digits: (nmsm, NWIN, n) int32 byte digits (LE window
+    order). Returns a width-`nmsm` Jacobian point triple (16, nmsm)."""
+    n = xs.shape[1]
+    nmsm = digits.shape[0]
+
+    perm = jnp.argsort(digits, axis=-1)  # (B, W, n)
+    seg = jnp.take_along_axis(digits, perm, axis=-1)
+    px = jnp.take(xs, perm, axis=1)  # (16, B, W, n)
+    py = jnp.take(ys, perm, axis=1)
+    pv = valid[perm]                 # (B, W, n)
+
+    local, carry, carry_seg, L = _segmented_sum_parts(px, py, pv, seg)
+
+    # segment ends → bucket index table (B, W, 257); column 256 is a trash
+    # lane for non-end positions, sentinel value n marks empty buckets.
+    ends = jnp.concatenate(
+        [seg[..., 1:] != seg[..., :-1], jnp.ones(seg.shape[:-1] + (1,), bool)],
+        axis=-1,
+    )
+    write_col = jnp.where(ends, seg, 256)
+    pos_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), seg.shape)
+    table = jnp.full((nmsm, NWIN, 257), n, dtype=jnp.int32)
+    b_ix = jnp.broadcast_to(jnp.arange(nmsm)[:, None, None], seg.shape)
+    w_ix = jnp.broadcast_to(jnp.arange(NWIN)[None, :, None], seg.shape)
+    table = table.at[b_ix, w_ix, write_col].set(pos_idx)
+    bucket_pos = table[..., :256]  # (B, W, 256)
+
+    gather = jnp.clip(bucket_pos, 0, n - 1)[None]  # (1, B, W, 256)
+    gidx = jnp.broadcast_to(gather, (16,) + bucket_pos.shape)
+    bx = jnp.take_along_axis(local[0], gidx, axis=-1)
+    by = jnp.take_along_axis(local[1], gidx, axis=-1)
+    bz = jnp.take_along_axis(local[2], gidx, axis=-1)
+    live = (bucket_pos < n) & (jnp.arange(256) > 0)  # drop empty + bucket 0
+    bz = jnp.where(live[None], bz, jnp.zeros_like(bz))
+
+    # fold the cross-chunk carries in at the bucket ends only (O(buckets)
+    # adds): bucket b's end in chunk c needs carry[c] iff its segment spans
+    # into c, i.e. carry_seg[c] == b.
+    chunk_ix = jnp.clip(bucket_pos // L, 0, carry_seg.shape[-1] - 1)
+    cs_g = jnp.take_along_axis(carry_seg, chunk_ix, axis=-1)  # (B, W, 256)
+    cidx = jnp.broadcast_to(chunk_ix[None], (16,) + chunk_ix.shape)
+    cx = jnp.take_along_axis(carry[0], cidx, axis=-1)
+    cy = jnp.take_along_axis(carry[1], cidx, axis=-1)
+    cz = jnp.take_along_axis(carry[2], cidx, axis=-1)
+    apply = live & (cs_g == jnp.arange(256))
+    cz = jnp.where(apply[None], cz, jnp.zeros_like(cz))
+    bx, by, bz = jac_add((bx, by, bz), (cx, cy, cz))
+
+    # Σ_{b=1}^{255} b·B_b = Σ_{k=1}^{255} suffix_k
+    suf = _suffix_sum_scan((bx, by, bz))
+    keep = jnp.arange(256) > 0
+    suf = (suf[0], suf[1], jnp.where(keep[None, None, None], suf[2], 0))
+    win = _tree_sum_last(suf)  # (16, B, W, 1)
+    win = tuple(c[..., 0] for c in win)  # (16, B, W)
+
+    # Horner over windows, MSB (window NWIN-1) first: acc = 2^8·acc + S_w
+    def step(acc, s_w):
+        acc = jax.lax.fori_loop(0, WINDOW, lambda _, a: jac_double(a), acc)
+        return jac_add(acc, s_w), None
+
+    ws = tuple(jnp.moveaxis(c, 2, 0)[::-1] for c in win)  # (W, 16, B)
+    zero = tuple(jnp.zeros((16, nmsm), jnp.uint32) for _ in range(3))
+    acc, _ = jax.lax.scan(
+        lambda a, s: step(a, s), zero, ws
+    )
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("n", "nmsm"))
+def _pippenger_device(xs, ys, valid, digits, n: int, nmsm: int):
+    """Single-device jitted Pippenger; (n, nmsm) pin the compiled shape."""
+    return _pippenger_core(xs, ys, valid, digits)
+
+
+_bases_cache: dict = {}
+
+
+def _pad_n(n_real: int) -> int:
+    """Bucket the point count to a power of two ≥ 256 so (a) the jitted
+    graph compiles for only a handful of distinct shapes (compiles are
+    minutes-expensive) and (b) the two-level segmented scan always has
+    chunks of length ≥ 4. Zero-padded lanes carry valid=False."""
+    return max(256, 1 << (n_real - 1).bit_length())
+
+
+def precompute_bases(points) -> tuple:
+    """Affine host points → cached (xs, ys, valid) device-ready arrays,
+    zero-padded to the bucketed lane count ``_pad_n(len(points))``.
+
+    Keyed by the identity of the list object (SRS vectors are long-lived on
+    ParamsKZG); conversion is the only per-base host bigint work.
+    """
+    key = (id(points), len(points))
+    hit = _bases_cache.get(key)
+    if hit is not None:
+        return hit
+    n = _pad_n(len(points))
+    xs, ys = _points_to_device(points)
+    if n > len(points):
+        pad = np.zeros((16, n - len(points)), dtype=np.uint32)
+        xs = np.concatenate([xs, pad], axis=1)
+        ys = np.concatenate([ys, pad], axis=1)
+    valid = np.zeros(n, dtype=bool)
+    valid[: len(points)] = [p is not None for p in points]
+    out = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(valid))
+    if len(_bases_cache) > 8:
+        _bases_cache.clear()
+    _bases_cache[key] = out
+    return out
+
+
+def _scalars_to_digits(scalar_rows, n: int) -> np.ndarray:
+    """(B rows of n scalars) → (B, NWIN, n) int32 byte digits, LE windows."""
+    b = len(scalar_rows)
+    out = np.empty((b, NWIN, n), dtype=np.int32)
+    for i, row in enumerate(scalar_rows):
+        buf = b"".join((s % F.FR_MOD).to_bytes(32, "little") for s in row)
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(row), 32)
+        if len(row) < n:
+            arr = np.vstack([arr, np.zeros((n - len(row), 32), np.uint8)])
+        out[i] = arr.T.astype(np.int32)
+    return out
+
+
+def msm_pippenger_device(points, scalar_rows):
+    """Batched device Pippenger: one shared base set, B scalar vectors.
+
+    points: host affine list (length n); scalar_rows: list of B lists of
+    host ints (each ≤ n long; short rows are zero-padded). Returns a list of
+    B host affine points (or None). Shapes are bucketed (n → power of two
+    ≥ 64, B → power of two) so only a few distinct graphs ever compile.
+    """
+    xs, ys, valid = precompute_bases(points)
+    n = int(xs.shape[1])
+    nmsm = 1 << (max(1, len(scalar_rows)) - 1).bit_length()
+    rows = list(scalar_rows) + [[0]] * (nmsm - len(scalar_rows))
+    digits = _scalars_to_digits(rows, n)
+    acc = _pippenger_device(xs, ys, valid, jnp.asarray(digits), n, nmsm)
+    ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
+    return [
+        jac_to_affine_host((ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1]))
+        for i in range(len(scalar_rows))
+    ]
+
+
+def _device_enabled() -> bool:
+    mode = os.environ.get("CIRCUITS_MSM_DEVICE", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+# Device path pays one dispatch + digit prep; below this it loses to host.
+DEVICE_THRESHOLD = 512
+
+
+def msm_auto(points, scalars):
+    """Dispatch one MSM to the device Pippenger when it wins, else host.
+
+    The device path is used on accelerator backends for n ≥ DEVICE_THRESHOLD
+    (override with CIRCUITS_MSM_DEVICE=0/1); the host Pippenger is the
+    fallback and the correctness reference.
+    """
+    if len(points) >= DEVICE_THRESHOLD and _device_enabled():
+        return msm_pippenger_device(points, [scalars])[0]
+    return C.g1_msm_pippenger(points, scalars)
+
+
+def msm_auto_batch(points, scalar_rows):
+    """Batched MSMs over one base set (advice/fixed column commitments)."""
+    if len(points) >= DEVICE_THRESHOLD and _device_enabled():
+        return msm_pippenger_device(points, scalar_rows)
+    return [C.g1_msm_pippenger(points, row) for row in scalar_rows]

@@ -102,33 +102,41 @@ def _bitrev(n: int) -> np.ndarray:
     return _bitrev_cache[n]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "omega"))
-def _ntt_device(a: jax.Array, n: int, omega: int) -> jax.Array:
-    """a: (16, n) Montgomery limbs. Static (n, omega) → cached compile."""
+def _ntt_core(a: jax.Array, n: int, omega: int) -> jax.Array:
+    """Shape-polymorphic NTT body: a is (16, *batch, n); the transform runs
+    along the last axis, batch dims ride for free (used standalone and as
+    the local stage of the distributed four-step NTT)."""
     logn = n.bit_length() - 1
     rev = jnp.asarray(_bitrev(n))
-    x = jnp.take(a, rev, axis=1)
+    x = jnp.take(a, rev, axis=-1)
     tables = _twiddles(n, omega)
     for s in range(logn):
         half = 1 << s
         groups = n // (2 * half)
-        xg = x.reshape(16, groups, 2, half)
-        u = xg[:, :, 0, :]
-        v = FJ.mont_mul(xg[:, :, 1, :], jnp.asarray(tables[s]))
+        xg = x.reshape(x.shape[:-1] + (groups, 2, half))
+        u = xg[..., 0, :]
+        t = jnp.asarray(tables[s]).reshape((16,) + (1,) * (u.ndim - 2) + (half,))
+        v = FJ.mont_mul(xg[..., 1, :], t)
         top = FJ.add_mod(u, v)
         bot = FJ.sub_mod(u, v)
-        x = jnp.stack([top, bot], axis=2).reshape(16, n)
+        x = jnp.stack([top, bot], axis=-2).reshape(x.shape[:-1] + (n,))
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("n", "omega"))
+def _ntt_device(a: jax.Array, n: int, omega: int) -> jax.Array:
+    """a: (16, *batch, n) Montgomery limbs. Static (n, omega) → cached."""
+    return _ntt_core(a, n, omega)
+
+
 def ntt(a: jax.Array, omega: int) -> jax.Array:
-    """Device NTT on (16, n) Montgomery limb tensor."""
-    return _ntt_device(a, int(a.shape[1]), omega)
+    """Device NTT on a (16, *batch, n) Montgomery limb tensor (last axis)."""
+    return _ntt_device(a, int(a.shape[-1]), omega)
 
 
 def intt(a: jax.Array, omega: int) -> jax.Array:
     """Inverse device NTT (includes the n^{-1} scale)."""
-    n = int(a.shape[1])
+    n = int(a.shape[-1])
     res = _ntt_device(a, n, F.fr_inv(omega))
-    n_inv_mont = FJ.FR.const(F.fr_inv(n))
-    return FJ.mont_mul(res, jnp.asarray(n_inv_mont))
+    c = jnp.asarray(FJ.FR.const(F.fr_inv(n))).reshape((16,) + (1,) * (res.ndim - 1))
+    return FJ.mont_mul(res, c)

@@ -1,0 +1,96 @@
+"""Distributed MSM over a device mesh — the TP analogue (SURVEY §2c #2).
+
+Replaces the rayon-parallel Pippenger of the reference's halo2 fork
+(`best_multiexp`, SURVEY §2b) with point/scalar index sharding: every device
+runs the full bucketed Pippenger (`ops/msm._pippenger_core`) on its point
+shard, producing one Jacobian partial per MSM; partials are combined by an
+`all_gather` over the mesh axis followed by a log-depth Jacobian tree sum
+(EC addition is not a `psum`-able monoid, so the all-reduce is gather+fold —
+ndev·3·16 words over ICI, negligible next to the shard compute).
+
+Horner window folding commutes with the shard sum (it is linear in the
+per-window bucket sums), so each shard folds its own windows before the
+single collective.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+from jax.experimental.shard_map import shard_map
+
+from ..ops import field as F
+from ..ops import msm as M
+
+
+def msm_sharded_device(mesh: Mesh, xs, ys, valid, digits, axis: str = "shard"):
+    """Device-array entry: xs, ys (16, n); valid (n,); digits (B, NWIN, n),
+    n divisible by the mesh size. Returns a (16, B) Jacobian triple
+    (replicated)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            PSpec(None, axis),
+            PSpec(None, axis),
+            PSpec(axis),
+            PSpec(None, None, axis),
+        ),
+        out_specs=(PSpec(None, None), PSpec(None, None), PSpec(None, None)),
+        check_rep=False,
+    )
+    def _run(xs_l, ys_l, valid_l, digits_l):
+        part = M._pippenger_core(xs_l, ys_l, valid_l, digits_l)  # (16, B) ×3
+        # gather partials: (ndev, 16, B) → (16, B, ndev) → tree fold
+        g = [
+            jnp.moveaxis(jax.lax.all_gather(c, axis), 0, -1) for c in part
+        ]
+        out = M._tree_sum_last(tuple(g))
+        return tuple(c[..., 0] for c in out)
+
+    return _run(xs, ys, valid, digits)
+
+
+def msm_sharded(mesh: Mesh, points, scalar_rows, axis: str = "shard"):
+    """Host-facing batched MSM across the mesh.
+
+    points: host affine list; scalar_rows: B scalar vectors. Points are
+    padded so the lane count divides the mesh; returns B host affine points
+    (or None for infinity). Mirrors `ops/msm.msm_pippenger_device` but with
+    the point axis sharded over devices.
+    """
+    ndev = mesh.devices.size
+    xs, ys, valid = M.precompute_bases(points)
+    n = int(xs.shape[1])
+    # every shard needs ≥ 256 lanes (chunked-scan minimum) and equal size
+    target = max(n, 256 * ndev)
+    if target % ndev:
+        target += ndev - target % ndev
+    if target > n:
+        pad = target - n
+        zeros = jnp.zeros((16, pad), jnp.uint32)
+        xs = jnp.concatenate([xs, zeros], axis=1)
+        ys = jnp.concatenate([ys, zeros], axis=1)
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+        n = target
+    nmsm = 1 << (max(1, len(scalar_rows)) - 1).bit_length()
+    rows = list(scalar_rows) + [[0]] * (nmsm - len(scalar_rows))
+    digits = jnp.asarray(M._scalars_to_digits(rows, n))
+
+    sh = NamedSharding(mesh, PSpec(None, axis))
+    xs = jax.device_put(xs, sh)
+    ys = jax.device_put(ys, sh)
+    valid = jax.device_put(valid, NamedSharding(mesh, PSpec(axis)))
+    digits = jax.device_put(digits, NamedSharding(mesh, PSpec(None, None, axis)))
+
+    acc = msm_sharded_device(mesh, xs, ys, valid, digits, axis)
+    ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
+    return [
+        M.jac_to_affine_host((ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1]))
+        for i in range(len(scalar_rows))
+    ]

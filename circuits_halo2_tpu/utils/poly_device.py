@@ -28,6 +28,19 @@ R_INV = pow(1 << 256, -1, P)
 COSET_GEN = 7
 
 
+def intt_cols(cols: list[list[int]], omega: int) -> list[list[int]]:
+    """Batched inverse NTT of host-int columns through the device kernel
+    (one dispatch for all columns; used by keygen's Lagrange→coeff step)."""
+    if not cols:
+        return []
+    n = len(cols[0])
+    flat = [(v << 256) % P for col in cols for v in col]
+    a = jnp.asarray(FJ.ints_to_limbs(flat).reshape(16, len(cols), n))
+    out = np.asarray(NTT.intt(a, omega)).reshape(16, -1)
+    vals = [v * R_INV % P for v in FJ.limbs_to_ints(out)]
+    return [vals[i * n : (i + 1) * n] for i in range(len(cols))]
+
+
 class Domain:
     """Evaluation domain: size n = 2^k, extended size 2^(k+ext_bits)."""
 

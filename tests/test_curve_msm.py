@@ -108,3 +108,57 @@ def test_srs_lagrange_consistency(params):
     evals = [F.fr_pow(omega, 2 * i) for i in range(params.n)]
     c_lag = params.commit_lagrange(evals)
     assert c_mono == c_lag
+
+
+# ---------------------------------------------------------------------------
+# Device Pippenger (production MSM path)
+# ---------------------------------------------------------------------------
+
+def _rand_points(n):
+    return [C.g1_mul(C.G1_GEN, rng.randrange(1, F.FR_MOD)) for _ in range(n)]
+
+
+def test_pippenger_device_matches_host():
+    n = 64
+    points = _rand_points(n)
+    scalars = [rng.randrange(F.FR_MOD) for _ in range(n)]
+    want = C.g1_msm_pippenger(points, scalars)
+    got = M.msm_pippenger_device(points, [scalars])[0]
+    assert got == want
+
+
+def test_pippenger_device_batched_rows():
+    n = 32
+    points = _rand_points(n)
+    rows = [
+        [rng.randrange(F.FR_MOD) for _ in range(n)],
+        [0] * n,                                    # all-zero row → infinity
+        [1] + [0] * (n - 1),                        # bare first point
+        [rng.randrange(F.FR_MOD) for _ in range(n // 2)],  # short row (padded)
+    ]
+    got = M.msm_pippenger_device(points, rows)
+    assert got[0] == C.g1_msm_pippenger(points, rows[0])
+    assert got[1] is None
+    assert got[2] == points[0]
+    assert got[3] == C.g1_msm_pippenger(points[: n // 2], rows[3])
+
+
+def test_pippenger_device_edge_cases():
+    g = C.G1_GEN
+    # duplicate points in one bucket (forces the doubling branch of jac_add),
+    # infinity inputs, cancelling pair, order-annihilated scalar
+    points = [g, g, None, C.g1_neg(g), g, C.g1_mul(g, 7)]
+    scalars = [5, 5, 123, 11, 11, F.FR_MOD]
+    want = C.g1_msm_pippenger(points, scalars)
+    got = M.msm_pippenger_device(points, [scalars])[0]
+    assert got == want
+
+
+def test_pippenger_device_single_bucket_saturation():
+    # every scalar identical → one giant segment per window
+    n = 16
+    points = _rand_points(n)
+    s = rng.randrange(F.FR_MOD)
+    want = C.g1_msm_pippenger(points, [s] * n)
+    got = M.msm_pippenger_device(points, [[s] * n])[0]
+    assert got == want

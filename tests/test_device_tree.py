@@ -45,3 +45,32 @@ def test_device_tree_matches_host():
     assert root_h == tree.root.hash
     assert root_b == tree.root.balances
     assert dmst.depth == tree.depth
+
+
+def test_device_tree_generate_proof_matches_host():
+    tree = MerkleSumTree.from_csv(str(CSV / "entry_16.csv"))
+    digests = np.stack(
+        [
+            np.frombuffer(e.hashed_username.to_bytes(32, "big"), dtype=np.uint8)
+            for e in tree.entries
+        ]
+    )
+    balances = np.array(
+        [[b for b in e.balances] for e in tree.entries], dtype=np.uint64
+    )
+    dmst = build_device_tree(digests, balances, use_pallas=False)
+    for idx in (0, 5, 15):
+        want = tree.generate_proof(idx)
+        got = dmst.generate_proof(idx, tree.entries[idx])
+        assert got.path_indices == want.path_indices
+        assert (
+            got.sibling_leaf_node_hash_preimage
+            == want.sibling_leaf_node_hash_preimage
+        )
+        assert (
+            got.sibling_middle_node_hash_preimages
+            == want.sibling_middle_node_hash_preimages
+        )
+        assert got.root.hash == want.root.hash
+        assert got.root.balances == want.root.balances
+        assert tree.verify_proof(got)
