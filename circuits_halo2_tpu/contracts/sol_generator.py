@@ -1,4 +1,4 @@
-"""Solidity verifier generation — render an EVM verifier from a VK.
+"""Solidity verifier generation — render a complete EVM verifier from a VK.
 
 Replaces ``halo2_solidity_verifier::SolidityGenerator`` (reference use:
 `zk_prover/examples/gen_inclusion_verifier.rs:30-40`, producing
@@ -9,12 +9,21 @@ the compiled ConstraintSystem IR and the VK:
   from the CS, identically to the Python verifier (models/verifier.py);
 - the quotient-evaluation Yul is code-generated from the gate expression
   trees; permutation / lookup blocks from the argument structure;
-- the BDFG21 multiopen sections from the rotation sets;
+- the BDFG21 multiopen sections (barycentric r_j(mu) accumulation with the
+  inversion-free normalized-coefficient scheme, pairing LHS assembly) are
+  generated from the rotation sets;
 - VK constants (including the hard-coded commitments) from keygen output.
 
-Parity: the generated contract's constants and layout are asserted against
-the reference-generated verifier in tests (the fixture extraction in
-tests/fixtures_vk_inclusion.json).
+The emitted contract is complete and executable: tests run it through the
+in-repo Yul interpreter (contracts/yul_vm.py) against both the reference
+proof fixture and freshly generated proofs (tests/test_contracts.py),
+mirroring the reference's revm harness
+(`zk_prover/examples/gen_inclusion_proof.rs:87-92`).
+
+Memory layout scheme (mirrors the reference generator's, derived not copied):
+scratch for batch-inverted barycentric coefficients at 0x00.., then rotation
+points / mu-diffs / Z_0(mu) / per-set diffs / r_evals / sums, then the VK
+block, then challenges, then named intermediates (X_N, L_*, QUOTIENT_*, ...).
 """
 
 from __future__ import annotations
@@ -39,18 +48,40 @@ class YulEmitter:
         return name
 
 
+# Named words that live after the challenge block, in order.
+_NAMED_MPTRS = [
+    "ACC_LHS_X", "ACC_LHS_Y", "ACC_RHS_X", "ACC_RHS_Y",
+    "X_N", "X_N_MINUS_1_INV", "L_LAST", "L_BLIND", "L_0",
+    "INSTANCE_EVAL", "QUOTIENT_EVAL", "QUOTIENT_X", "QUOTIENT_Y",
+    "R_EVAL", "PAIRING_LHS_X", "PAIRING_LHS_Y",
+    "PAIRING_RHS_X", "PAIRING_RHS_Y",
+]
+
+_CHALLENGES = ["THETA", "BETA", "GAMMA", "Y", "X", "ZETA", "NU", "MU"]
+
+
 class SolidityGenerator:
-    def __init__(self, params: ParamsKZG, vk: VerifyingKey, num_instances: int):
+    def __init__(
+        self,
+        params: ParamsKZG,
+        vk: VerifyingKey,
+        num_instances: int,
+        vk_digest: int | None = None,
+    ):
         self.params = params
         self.vk = vk
         self.cs = vk.cs
         self.num_instances = num_instances
+        self.vk_digest = (
+            vk_digest if vk_digest is not None else vk.transcript_repr
+        )
         cs = self.cs
         self.num_h = cs.degree() - 1
         self.nperm = num_perm_sets(cs)
         self.chunk = perm_chunk_len(cs)
         self.blinders = cs.blinding_factors()
         self.sets = rotation_sets(cs)
+        assert len(self.sets) >= 2, "degenerate multiopen set structure"
 
         # ---- proof layout -------------------------------------------------
         self.phase_points = [
@@ -75,6 +106,7 @@ class SolidityGenerator:
         # calldata offsets of evaluations
         self.eval_cptr = self.proof_cptr + sum(self.phase_points) * 0x40
         self._assign_eval_offsets()
+        self._build_vk_entries()
         self._assign_memory_layout()
 
     # ------------------------------------------------------------------
@@ -131,48 +163,64 @@ class SolidityGenerator:
         self.first_quotient_cptr = c
         self.last_quotient_cptr = c + (self.num_h - 1) * 0x40
         c += self.num_h * 0x40
-        self.w_cptr = c
-        self.w_prime_cptr = c + 0x40
+        # W and W' sit after the evaluation block, not after the quotient
+        # commitments (proof layout: commitments | evals | W | W')
+        self.w_cptr = self.eval_cptr + self.num_evals * 0x20
+        self.w_prime_cptr = self.w_cptr + 0x40
 
     # ------------------------------------------------------------------
     def _assign_memory_layout(self):
-        # multiopen scratch sizing (mirrors the generated layout scheme):
-        # rotation points, mu-diffs, per-set diffs, r_evals, sums
+        """Scratch / VK / challenge / named-word layout (scheme in module
+        docstring). All addresses are generated; nothing is hard-coded."""
         points = sorted({r for rots, _ in self.sets for r in rots})
         self.points = points
+        npts = len(points)
         nsets = len(self.sets)
-        scratch_end = 0x20 * (
-            0x20 // 0x20  # base scratch at 0x00..0x20 for hashes etc.
-        )
-        # the multiopen section uses fixed regions; compute a safe base:
-        # coeffs region (per set, |set| words each), diffs, r_evals, sums.
-        coeff_words = sum(len(rots) for rots, _ in self.sets)
-        base = 0x20 + coeff_words * 0x20  # 0x20.. coeffs
-        pts_base = 0x20 * ((base + 0x1F) // 0x20)
-        # regions: point values, mu_minus_point, set diffs, r_evals, sums
-        region = pts_base
-        region += len(points) * 0x20      # x_pow_of_omega values
-        region += (len(points) + 1) * 0x20  # mu - point + Z_0(mu)
-        region += (nsets + 1) * 0x20      # diffs (+diff_0 store)
-        region += nsets * 0x20            # r_evals
-        region += nsets * 0x20            # sums
-        self.vk_mptr = 0x20 * ((region + 0x3F) // 0x20) + 0x40
+        ncoeffs = sum(len(rots) for rots, _ in self.sets)
+        self.ncoeffs = ncoeffs
 
-        # vk block: scalars + points
-        self.vk_entries: list[tuple[str, int]] = []
-        self._build_vk_entries()
+        # batch-invert scratch: diff_0 at 0x00, coefficients at 0x20..
+        self.coeff_mptr: dict[tuple, int] = {}
+        off = 0x20
+        for si, (rots, _) in enumerate(self.sets):
+            for i in range(len(rots)):
+                self.coeff_mptr[(si, i)] = off
+                off += 0x20
+        # batch_invert(0, 0x20*(1+ncoeffs)) needs (ncoeffs) product words
+        # plus 6 modexp argument words beyond the value region:
+        self.point_base = 0x20 * (2 * (1 + ncoeffs) + 6)
+        self.point_mptr = {
+            rot: self.point_base + 0x20 * i for i, rot in enumerate(points)
+        }
+        mu_base = self.point_base + 0x20 * npts
+        self.mu_minus_mptr = {
+            rot: mu_base + 0x20 * i for i, rot in enumerate(points)
+        }
+        self.s_mptr = mu_base + 0x20 * npts          # Z_0(mu)
+        self.diffs_mptr = self.s_mptr + 0x20          # nsets words
+        self.r_evals_mptr = self.diffs_mptr + 0x20 * nsets
+        self.sums_mptr = self.r_evals_mptr + 0x20 * nsets
+        self.vk_mptr = self.sums_mptr + 0x20 * nsets
+
+        self._vk_index = {name: i for i, (name, _) in enumerate(self.vk_entries)}
         self.challenge_mptr = self.vk_mptr + len(self.vk_entries) * 0x20
+        self.mptr_of = {
+            name: self.challenge_mptr + 0x20 * i
+            for i, name in enumerate(_CHALLENGES)
+        }
+        base = self.challenge_mptr + 0x20 * len(_CHALLENGES)
+        for i, name in enumerate(_NAMED_MPTRS):
+            self.mptr_of[name] = base + 0x20 * i
 
     def _build_vk_entries(self):
         vk, params = self.vk, self.params
         from ..ops import field as F
-        from ..ops.ntt import omega_for_k
 
         n = 1 << vk.k
         omega_inv = F.fr_inv(vk.omega)
         neg_s_g2 = CU.g2_neg(params.s_g2)
-        e = self.vk_entries
-        e.append(("vk_digest", vk.transcript_repr))
+        e = self.vk_entries = []
+        e.append(("vk_digest", self.vk_digest))
         e.append(("k", vk.k))
         e.append(("n_inv", F.fr_inv(n)))
         e.append(("omega", vk.omega))
@@ -203,6 +251,38 @@ class SolidityGenerator:
             e.append((f"permutation_comms[{i}].y", p[1] if p else 0))
 
     # ------------------------------------------------------------------
+    # sources
+    # ------------------------------------------------------------------
+    def _eval_src(self, poly: tuple, rot: int) -> str:
+        kind = poly[0]
+        if kind == "quotient":
+            return "mload(QUOTIENT_EVAL_MPTR)"
+        if kind == "random":
+            key = ("random", 0, 0)
+        elif kind == "sigma":
+            key = ("sigma", poly[1], 0)
+        else:
+            key = (kind, poly[1], rot)
+        return f"calldataload(0x{self.eval_of[key]:04x})"
+
+    def _comm_src(self, poly: tuple) -> tuple[str, str]:
+        kind = poly[0]
+        if kind == "quotient":
+            return ("mload(QUOTIENT_X_MPTR)", "mload(QUOTIENT_Y_MPTR)")
+        if kind == "fixed":
+            idx = self._vk_index[f"fixed_comms[{poly[1]}].x"]
+        elif kind == "sigma":
+            idx = self._vk_index[f"permutation_comms[{poly[1]}].x"]
+        else:
+            key = ("random",) if kind == "random" else (kind, poly[1])
+            c = self.comm_of[key]
+            return (f"calldataload(0x{c:04x})", f"calldataload(0x{c + 0x20:04x})")
+        m = self.vk_mptr + 0x20 * idx
+        return (f"mload(0x{m:04x})", f"mload(0x{m + 0x20:04x})")
+
+    # ------------------------------------------------------------------
+    # section emitters
+    # ------------------------------------------------------------------
     def _emit_expr(self, em: YulEmitter, expr: E.Expr) -> str:
         cs = self.cs
         if isinstance(expr, E.Const):
@@ -231,6 +311,11 @@ class SolidityGenerator:
             return em.let(f"mulmod({a}, 0x{expr.scalar:x}, r)")
         raise TypeError(expr)
 
+    def _block(self, lines: list[str], indent: int = 16) -> str:
+        pad = " " * indent
+        inner = ("\n" + pad + "    ").join(lines)
+        return f"{pad}{{\n{pad}    {inner}\n{pad}}}"
+
     def _gate_blocks(self) -> str:
         blocks = []
         first = True
@@ -238,7 +323,6 @@ class SolidityGenerator:
             for poly in gate.polys:
                 em = YulEmitter()
                 result = self._emit_expr(em, poly)
-                body = "\n                    ".join(em.lines)
                 if first:
                     acc = f"quotient_eval_numer := {result}"
                     first = False
@@ -247,13 +331,7 @@ class SolidityGenerator:
                         "quotient_eval_numer := addmod(mulmod("
                         f"quotient_eval_numer, y, r), {result}, r)"
                     )
-                blocks.append(
-                    "                {\n                    "
-                    + body
-                    + "\n                    "
-                    + acc
-                    + "\n                }"
-                )
+                blocks.append(self._block(em.lines + [acc]))
         return "\n".join(blocks)
 
     def _perm_lookup_blocks(self) -> str:
@@ -264,11 +342,7 @@ class SolidityGenerator:
         out = []
 
         def block(lines):
-            out.append(
-                "                {\n                    "
-                + "\n                    ".join(lines)
-                + "\n                }"
-            )
+            out.append(self._block(lines))
 
         def acc(val):
             return (
@@ -396,6 +470,278 @@ class SolidityGenerator:
             ])
         return "\n".join(out)
 
+    # -- multiopen sections -------------------------------------------------
+    def _point_block(self) -> str:
+        """x·omega^rot for every rotation in the query universe."""
+        pts = set(self.points)
+        lines = [
+            "let x := mload(X_MPTR)",
+            "let omega := mload(OMEGA_MPTR)",
+            "let omega_inv := mload(OMEGA_INV_MPTR)",
+            "let x_pow_of_omega := x",
+            f"mstore(0x{self.point_mptr[0]:04x}, x)",
+        ]
+        maxr = max(self.points)
+        minr = min(self.points)
+        for rot in range(1, maxr + 1):
+            lines.append("x_pow_of_omega := mulmod(x_pow_of_omega, omega, r)")
+            if rot in pts:
+                lines.append(
+                    f"mstore(0x{self.point_mptr[rot]:04x}, x_pow_of_omega)"
+                )
+        lines.append("x_pow_of_omega := x")
+        for rot in range(-1, minr - 1, -1):
+            lines.append(
+                "x_pow_of_omega := mulmod(x_pow_of_omega, omega_inv, r)"
+            )
+            if rot in pts:
+                lines.append(
+                    f"mstore(0x{self.point_mptr[rot]:04x}, x_pow_of_omega)"
+                )
+        return self._block(lines)
+
+    def _mu_diff_block(self) -> str:
+        """mu - point values, Z_0(mu), and per-set diff products."""
+        npts = len(self.points)
+        mu_base = self.mu_minus_mptr[self.points[0]]
+        lines = [
+            "let mu := mload(MU_MPTR)",
+            "for",
+            "    {",
+            f"        let mptr := 0x{mu_base:04x}",
+            f"        let mptr_end := 0x{mu_base + 0x20 * npts:04x}",
+            f"        let point_mptr := 0x{self.point_base:04x}",
+            "    }",
+            "    lt(mptr, mptr_end)",
+            "    {",
+            "        mptr := add(mptr, 0x20)",
+            "        point_mptr := add(point_mptr, 0x20)",
+            "    }",
+            "{",
+            "    mstore(mptr, addmod(mu, sub(r, mload(point_mptr)), r))",
+            "}",
+        ]
+        # Z_0(mu): product over set-0 rotations
+        rots0 = self.sets[0][0]
+        lines.append(f"let s := mload(0x{self.mu_minus_mptr[rots0[0]]:04x})")
+        for rot in rots0[1:]:
+            lines.append(
+                f"s := mulmod(s, mload(0x{self.mu_minus_mptr[rot]:04x}), r)"
+            )
+        lines.append(f"mstore(0x{self.s_mptr:04x}, s)")
+        # per-set diffs: product over rotations NOT in the set
+        lines.append("let diff")
+        for si, (rots, _) in enumerate(self.sets):
+            others = [r for r in self.points if r not in rots]
+            if not others:
+                lines.append("diff := 1")
+            else:
+                lines.append(
+                    f"diff := mload(0x{self.mu_minus_mptr[others[0]]:04x})"
+                )
+                for rot in others[1:]:
+                    lines.append(
+                        f"diff := mulmod(diff, "
+                        f"mload(0x{self.mu_minus_mptr[rot]:04x}), r)"
+                    )
+            lines.append(f"mstore(0x{self.diffs_mptr + 0x20 * si:04x}, diff)")
+            if si == 0:
+                lines.append("mstore(0x00, diff)")
+        return self._block(lines)
+
+    def _coeff_blocks(self) -> str:
+        """Un-inverted barycentric coefficients per (set, rotation):
+        coeff_i = (mu - p_i) * prod_{j != i} (p_i - p_j). After the batch
+        inversion these become the Lagrange-basis-at-mu over Z_set."""
+        out = []
+        for si, (rots, _) in enumerate(self.sets):
+            lines = []
+            for i, rot in enumerate(rots):
+                lines.append(
+                    f"let point_{i} := mload(0x{self.point_mptr[rot]:04x})"
+                )
+            lines.append("let coeff")
+            for i, rot in enumerate(rots):
+                factors = [
+                    f"addmod(point_{i}, sub(r, point_{j}), r)"
+                    for j in range(len(rots))
+                    if j != i
+                ]
+                if factors:
+                    lines.append(f"coeff := {factors[0]}")
+                    for f in factors[1:]:
+                        lines.append(f"coeff := mulmod(coeff, {f}, r)")
+                    lines.append(
+                        f"coeff := mulmod(coeff, "
+                        f"mload(0x{self.mu_minus_mptr[rot]:04x}), r)"
+                    )
+                else:
+                    lines.append(
+                        f"coeff := mload(0x{self.mu_minus_mptr[rot]:04x})"
+                    )
+                lines.append(f"mstore(0x{self.coeff_mptr[(si, i)]:04x}, coeff)")
+            out.append(self._block(lines))
+        return "\n".join(out)
+
+    def _normalize_block(self) -> str:
+        """Batch-invert diff_0 + all coefficients; normalize set diffs."""
+        nsets = len(self.sets)
+        end = 0x20 * (1 + self.ncoeffs)
+        lines = [
+            f"success := batch_invert(success, 0, 0x{end:04x}, r)",
+            "let diff_0_inv := mload(0x00)",
+            f"mstore(0x{self.diffs_mptr:04x}, diff_0_inv)",
+            "for",
+            "    {",
+            f"        let mptr := 0x{self.diffs_mptr + 0x20:04x}",
+            f"        let mptr_end := 0x{self.diffs_mptr + 0x20 * nsets:04x}",
+            "    }",
+            "    lt(mptr, mptr_end)",
+            "    { mptr := add(mptr, 0x20) }",
+            "{",
+            "    mstore(mptr, mulmod(mload(mptr), diff_0_inv, r))",
+            "}",
+        ]
+        return self._block(lines)
+
+    def _r_eval_blocks(self) -> str:
+        """Per-set r_eval = diff_norm * sum_polys zeta^t sum_i coeff_inv_i
+        * eval_i (Horner over polys in reverse order)."""
+        out = []
+        for si, (rots, polys) in enumerate(self.sets):
+            lines = ["let zeta := mload(ZETA_MPTR)", "let r_eval := 0"]
+            for pi, poly in enumerate(reversed(polys)):
+                if pi:
+                    lines.append("r_eval := mulmod(r_eval, zeta, r)")
+                for i, rot in enumerate(rots):
+                    lines.append(
+                        "r_eval := addmod(r_eval, mulmod("
+                        f"mload(0x{self.coeff_mptr[(si, i)]:04x}), "
+                        f"{self._eval_src(poly, rot)}, r), r)"
+                    )
+            if si:
+                lines.append(
+                    "r_eval := mulmod(r_eval, "
+                    f"mload(0x{self.diffs_mptr + 0x20 * si:04x}), r)"
+                )
+            lines.append(f"mstore(0x{self.r_evals_mptr + 0x20 * si:04x}, r_eval)")
+            out.append(self._block(lines))
+        return "\n".join(out)
+
+    def _sum_blocks(self) -> str:
+        """Per-set sums of inverted coefficients (= 1/Z_set(mu))."""
+        out = []
+        for si, (rots, _) in enumerate(self.sets):
+            lines = [f"let sum := mload(0x{self.coeff_mptr[(si, 0)]:04x})"]
+            for i in range(1, len(rots)):
+                lines.append(
+                    f"sum := addmod(sum, "
+                    f"mload(0x{self.coeff_mptr[(si, i)]:04x}), r)"
+                )
+            lines.append(f"mstore(0x{self.sums_mptr + 0x20 * si:04x}, sum)")
+            out.append(self._block(lines))
+        return "\n".join(out)
+
+    def _r_eval_combine_block(self) -> str:
+        """R_EVAL = sum_j nu^j * r_eval_j * Z_j(mu) via a second batch
+        inversion of the sums (Horner in nu from the last set down)."""
+        nsets = len(self.sets)
+        lines = [
+            "for",
+            "    {",
+            "        let mptr := 0x00",
+            f"        let mptr_end := 0x{0x20 * nsets:04x}",
+            f"        let sum_mptr := 0x{self.sums_mptr:04x}",
+            "    }",
+            "    lt(mptr, mptr_end)",
+            "    {",
+            "        mptr := add(mptr, 0x20)",
+            "        sum_mptr := add(sum_mptr, 0x20)",
+            "    }",
+            "{",
+            "    mstore(mptr, mload(sum_mptr))",
+            "}",
+            f"success := batch_invert(success, 0, 0x{0x20 * nsets:04x}, r)",
+            (
+                f"let r_eval := mulmod(mload(0x{0x20 * (nsets - 1):04x}), "
+                f"mload(0x{self.r_evals_mptr + 0x20 * (nsets - 1):04x}), r)"
+            ),
+            "for",
+            "    {",
+            f"        let sum_inv_mptr := 0x{0x20 * (nsets - 2):04x}",
+            f"        let sum_inv_mptr_end := 0x{0x20 * nsets:04x}",
+            (
+                f"        let r_eval_mptr := "
+                f"0x{self.r_evals_mptr + 0x20 * (nsets - 2):04x}"
+            ),
+            "    }",
+            "    lt(sum_inv_mptr, sum_inv_mptr_end)",
+            "    {",
+            "        sum_inv_mptr := sub(sum_inv_mptr, 0x20)",
+            "        r_eval_mptr := sub(r_eval_mptr, 0x20)",
+            "    }",
+            "{",
+            "    r_eval := mulmod(r_eval, mload(NU_MPTR), r)",
+            "    r_eval := addmod(r_eval, mulmod(mload(sum_inv_mptr), "
+            "mload(r_eval_mptr), r), r)",
+            "}",
+            "mstore(R_EVAL_MPTR, r_eval)",
+        ]
+        return self._block(lines)
+
+    def _pairing_acc_block(self) -> str:
+        """Pairing LHS: commitment linear combination mirroring R_EVAL, then
+        - r_eval*G1 - Z_0(mu)*W + mu*W'; RHS = W'."""
+        L = ["let nu := mload(NU_MPTR)"]
+        # set 0 into acc (0x00, 0x20)
+        rots, polys = self.sets[0]
+        x, y = self._comm_src(polys[-1])
+        L.append(f"mstore(0x00, {x})")
+        L.append(f"mstore(0x20, {y})")
+        for poly in reversed(polys[:-1]):
+            L.append("success := ec_mul_acc(success, mload(ZETA_MPTR))")
+            x, y = self._comm_src(poly)
+            L.append(f"success := ec_add_acc(success, {x}, {y})")
+        # sets 1.. into tmp (0x80, 0xa0), folded into acc with nu^j * diff_j
+        for si in range(1, len(self.sets)):
+            rots, polys = self.sets[si]
+            x, y = self._comm_src(polys[-1])
+            L.append(f"mstore(0x80, {x})")
+            L.append(f"mstore(0xa0, {y})")
+            for poly in reversed(polys[:-1]):
+                L.append("success := ec_mul_tmp(success, mload(ZETA_MPTR))")
+                x, y = self._comm_src(poly)
+                L.append(f"success := ec_add_tmp(success, {x}, {y})")
+            L.append(
+                "success := ec_mul_tmp(success, mulmod(nu, "
+                f"mload(0x{self.diffs_mptr + 0x20 * si:04x}), r))"
+            )
+            L.append("success := ec_add_acc(success, mload(0x80), mload(0xa0))")
+            if si < len(self.sets) - 1:
+                L.append("nu := mulmod(nu, mload(NU_MPTR), r)")
+        L += [
+            "mstore(0x80, mload(G1_X_MPTR))",
+            "mstore(0xa0, mload(G1_Y_MPTR))",
+            "success := ec_mul_tmp(success, sub(r, mload(R_EVAL_MPTR)))",
+            "success := ec_add_acc(success, mload(0x80), mload(0xa0))",
+            f"mstore(0x80, calldataload(0x{self.w_cptr:04x}))",
+            f"mstore(0xa0, calldataload(0x{self.w_cptr + 0x20:04x}))",
+            f"success := ec_mul_tmp(success, sub(r, mload(0x{self.s_mptr:04x})))",
+            "success := ec_add_acc(success, mload(0x80), mload(0xa0))",
+            f"mstore(0x80, calldataload(0x{self.w_prime_cptr:04x}))",
+            f"mstore(0xa0, calldataload(0x{self.w_prime_cptr + 0x20:04x}))",
+            "success := ec_mul_tmp(success, mload(MU_MPTR))",
+            "success := ec_add_acc(success, mload(0x80), mload(0xa0))",
+            "mstore(PAIRING_LHS_X_MPTR, mload(0x00))",
+            "mstore(PAIRING_LHS_Y_MPTR, mload(0x20))",
+            f"mstore(PAIRING_RHS_X_MPTR, calldataload(0x{self.w_prime_cptr:04x}))",
+            (
+                "mstore(PAIRING_RHS_Y_MPTR, "
+                f"calldataload(0x{self.w_prime_cptr + 0x20:04x}))"
+            ),
+        ]
+        return self._block(lines=L)
+
     # ------------------------------------------------------------------
     def render(self) -> str:
         vk_block = "\n".join(
@@ -418,8 +764,13 @@ class SolidityGenerator:
                 challenge_mptr, hash_mptr := squeeze_challenge(challenge_mptr, hash_mptr, r)
 {"                challenge_mptr := squeeze_challenge_cont(challenge_mptr, r)" if idx == 1 else ""}""")
         num_instance_cptr = self.proof_cptr + self.proof_len
-        gates = self._gate_blocks()
-        args = self._perm_lookup_blocks()
+
+        mptr_constants = "\n".join(
+            f"    uint256 internal constant {name + '_MPTR':>22} = "
+            f"0x{self.mptr_of[name]:04x};"
+            for name in _CHALLENGES + _NAMED_MPTRS
+        )
+        bp1 = 0x20 * (self.blinders + 1)
 
         return VERIFIER_TEMPLATE.format(
             proof_len=self.proof_len,
@@ -428,16 +779,39 @@ class SolidityGenerator:
             first_quotient=self.first_quotient_cptr,
             last_quotient=self.last_quotient_cptr,
             vk_mptr=self.vk_mptr,
+            num_instances_mptr=self.vk_mptr + 0x20 * self._vk_index["num_instances"],
+            g1_x_mptr=self.vk_mptr + 0x20 * self._vk_index["g1_x"],
+            g1_y_mptr=self.vk_mptr + 0x20 * self._vk_index["g1_y"],
+            g2_x_1_mptr=self.vk_mptr + 0x20 * self._vk_index["g2_x_1"],
+            neg_s_g2_x_1_mptr=self.vk_mptr + 0x20 * self._vk_index["neg_s_g2_x_1"],
+            k_mptr=self.vk_mptr + 0x20 * self._vk_index["k"],
+            n_inv_mptr=self.vk_mptr + 0x20 * self._vk_index["n_inv"],
+            omega_mptr=self.vk_mptr + 0x20 * self._vk_index["omega"],
+            omega_inv_mptr=self.vk_mptr + 0x20 * self._vk_index["omega_inv"],
+            omega_inv_to_l_mptr=(
+                self.vk_mptr + 0x20 * self._vk_index["omega_inv_to_l"]
+            ),
             challenge_mptr=self.challenge_mptr,
+            mptr_constants=mptr_constants,
             vk_block=vk_block,
             phase_loops="\n".join(phase_loops),
             num_eval_bytes=self.num_evals * 0x20,
             q=FQ_MOD,
             r=FR_MOD,
             delta=DELTA,
-            gate_blocks=gates,
-            argument_blocks=args,
-            blinders=self.blinders,
+            blinders_plus_1=self.blinders + 1,
+            bp1=bp1,
+            bp1_plus_word=bp1 + 0x20,
+            gate_blocks=self._gate_blocks(),
+            argument_blocks=self._perm_lookup_blocks(),
+            point_block=self._point_block(),
+            mu_diff_block=self._mu_diff_block(),
+            coeff_blocks=self._coeff_blocks(),
+            normalize_block=self._normalize_block(),
+            r_eval_blocks=self._r_eval_blocks(),
+            sum_blocks=self._sum_blocks(),
+            r_eval_combine_block=self._r_eval_combine_block(),
+            pairing_acc_block=self._pairing_acc_block(),
         )
 
 
@@ -456,11 +830,21 @@ contract Verifier {{
     uint256 internal constant FIRST_QUOTIENT_X_CPTR = 0x{first_quotient:04x};
     uint256 internal constant  LAST_QUOTIENT_X_CPTR = 0x{last_quotient:04x};
 
-    uint256 internal constant  VK_MPTR = 0x{vk_mptr:04x};
-    uint256 internal constant  CHALLENGE_MPTR = 0x{challenge_mptr:04x};
+    uint256 internal constant                VK_MPTR = 0x{vk_mptr:04x};
+    uint256 internal constant         VK_DIGEST_MPTR = 0x{vk_mptr:04x};
+    uint256 internal constant                 K_MPTR = 0x{k_mptr:04x};
+    uint256 internal constant             N_INV_MPTR = 0x{n_inv_mptr:04x};
+    uint256 internal constant             OMEGA_MPTR = 0x{omega_mptr:04x};
+    uint256 internal constant         OMEGA_INV_MPTR = 0x{omega_inv_mptr:04x};
+    uint256 internal constant    OMEGA_INV_TO_L_MPTR = 0x{omega_inv_to_l_mptr:04x};
+    uint256 internal constant     NUM_INSTANCES_MPTR = 0x{num_instances_mptr:04x};
+    uint256 internal constant              G1_X_MPTR = 0x{g1_x_mptr:04x};
+    uint256 internal constant              G1_Y_MPTR = 0x{g1_y_mptr:04x};
+    uint256 internal constant            G2_X_1_MPTR = 0x{g2_x_1_mptr:04x};
+    uint256 internal constant      NEG_S_G2_X_1_MPTR = 0x{neg_s_g2_x_1_mptr:04x};
+    uint256 internal constant        CHALLENGE_MPTR = 0x{challenge_mptr:04x};
 
-    // Challenge layout: THETA, BETA, GAMMA, Y, X, ZETA, NU, MU
-    // (each one word after CHALLENGE_MPTR, in squeeze order)
+{mptr_constants}
 
     function verifyProof(
         bytes calldata proof,
@@ -495,6 +879,96 @@ contract Verifier {{
                 ret := add(challenge_mptr, 0x20)
             }}
 
+            // Batch invert values in memory[mptr_start..mptr_end] in place.
+            function batch_invert(success, mptr_start, mptr_end, r) -> ret {{
+                let gp_mptr := mptr_end
+                let gp := mload(mptr_start)
+                let mptr := add(mptr_start, 0x20)
+                for
+                    {{}}
+                    lt(mptr, sub(mptr_end, 0x20))
+                    {{}}
+                {{
+                    gp := mulmod(gp, mload(mptr), r)
+                    mstore(gp_mptr, gp)
+                    mptr := add(mptr, 0x20)
+                    gp_mptr := add(gp_mptr, 0x20)
+                }}
+                gp := mulmod(gp, mload(mptr), r)
+
+                mstore(gp_mptr, 0x20)
+                mstore(add(gp_mptr, 0x20), 0x20)
+                mstore(add(gp_mptr, 0x40), 0x20)
+                mstore(add(gp_mptr, 0x60), gp)
+                mstore(add(gp_mptr, 0x80), sub(r, 2))
+                mstore(add(gp_mptr, 0xa0), r)
+                ret := and(success, staticcall(gas(), 0x05, gp_mptr, 0xc0, gp_mptr, 0x20))
+                let all_inv := mload(gp_mptr)
+
+                let first_mptr := mptr_start
+                let second_mptr := add(first_mptr, 0x20)
+                gp_mptr := sub(gp_mptr, 0x20)
+                for
+                    {{}}
+                    lt(second_mptr, mptr)
+                    {{}}
+                {{
+                    let inv := mulmod(all_inv, mload(gp_mptr), r)
+                    all_inv := mulmod(all_inv, mload(mptr), r)
+                    mstore(mptr, inv)
+                    mptr := sub(mptr, 0x20)
+                    gp_mptr := sub(gp_mptr, 0x20)
+                }}
+                let inv_first := mulmod(all_inv, mload(second_mptr), r)
+                let inv_second := mulmod(all_inv, mload(first_mptr), r)
+                mstore(first_mptr, inv_first)
+                mstore(second_mptr, inv_second)
+            }}
+
+            // Add (x, y) into point at (0x00, 0x20). Return updated success.
+            function ec_add_acc(success, x, y) -> ret {{
+                mstore(0x40, x)
+                mstore(0x60, y)
+                ret := and(success, staticcall(gas(), 0x06, 0x00, 0x80, 0x00, 0x40))
+            }}
+
+            // Scale point at (0x00, 0x20) by scalar.
+            function ec_mul_acc(success, scalar) -> ret {{
+                mstore(0x40, scalar)
+                ret := and(success, staticcall(gas(), 0x07, 0x00, 0x60, 0x00, 0x40))
+            }}
+
+            // Add (x, y) into point at (0x80, 0xa0). Return updated success.
+            function ec_add_tmp(success, x, y) -> ret {{
+                mstore(0xc0, x)
+                mstore(0xe0, y)
+                ret := and(success, staticcall(gas(), 0x06, 0x80, 0x80, 0x80, 0x40))
+            }}
+
+            // Scale point at (0x80, 0xa0) by scalar.
+            function ec_mul_tmp(success, scalar) -> ret {{
+                mstore(0xc0, scalar)
+                ret := and(success, staticcall(gas(), 0x07, 0x80, 0x60, 0x80, 0x40))
+            }}
+
+            // Perform pairing check. Return updated success.
+            function ec_pairing(success, lhs_x, lhs_y, rhs_x, rhs_y) -> ret {{
+                mstore(0x00, lhs_x)
+                mstore(0x20, lhs_y)
+                mstore(0x40, mload(G2_X_1_MPTR))
+                mstore(0x60, mload(add(G2_X_1_MPTR, 0x20)))
+                mstore(0x80, mload(add(G2_X_1_MPTR, 0x40)))
+                mstore(0xa0, mload(add(G2_X_1_MPTR, 0x60)))
+                mstore(0xc0, rhs_x)
+                mstore(0xe0, rhs_y)
+                mstore(0x100, mload(NEG_S_G2_X_1_MPTR))
+                mstore(0x120, mload(add(NEG_S_G2_X_1_MPTR, 0x20)))
+                mstore(0x140, mload(add(NEG_S_G2_X_1_MPTR, 0x40)))
+                mstore(0x160, mload(add(NEG_S_G2_X_1_MPTR, 0x60)))
+                ret := and(success, staticcall(gas(), 0x08, 0x00, 0x180, 0x00, 0x20))
+                ret := and(ret, mload(0x00))
+            }}
+
             let q := {q}
             let r := {r}
             let success := true
@@ -507,16 +981,17 @@ contract Verifier {{
                 success := and(success, eq(0x{proof_len:04x}, calldataload(PROOF_LEN_CPTR)))
 
                 // Check valid length of instances
-                success := and(success, eq(mload(add(VK_MPTR, 0xc0)), calldataload(NUM_INSTANCE_CPTR)))
+                let num_instances := mload(NUM_INSTANCES_MPTR)
+                success := and(success, eq(num_instances, calldataload(NUM_INSTANCE_CPTR)))
 
                 // Absorb vk digest
-                mstore(0x00, mload(VK_MPTR))
+                mstore(0x00, mload(VK_DIGEST_MPTR))
 
                 // Read instances and witness commitments and generate challenges
                 let hash_mptr := 0x20
                 let instance_cptr := INSTANCE_CPTR
                 for
-                    {{ let instance_cptr_end := add(instance_cptr, mul(0x20, mload(add(VK_MPTR, 0xc0)))) }}
+                    {{ let instance_cptr_end := add(instance_cptr, mul(0x20, num_instances)) }}
                     lt(instance_cptr, instance_cptr_end)
                     {{}}
                 {{
@@ -552,22 +1027,150 @@ contract Verifier {{
                 success, proof_cptr, hash_mptr := read_ec_point(success, proof_cptr, hash_mptr, q) // W'
             }}
 
+            // Revert earlier if anything from calldata is invalid
             if iszero(success) {{ revert(0, 0) }}
 
-            // NOTE: the Lagrange-evaluation, quotient-evaluation and BDFG21
-            // multiopen sections below are generated from the circuit IR.
-            // The quotient accumulation over y runs in gate-creation order:
+            // Compute lagrange evaluations and instance evaluation
             {{
-                let delta := {delta}
-                let y := mload(add(CHALLENGE_MPTR, 0x60))
-                let quotient_eval_numer
-{gate_blocks}
-{argument_blocks}
-                pop(quotient_eval_numer)
+                let k := mload(K_MPTR)
+                let x := mload(X_MPTR)
+                let x_n := x
+                for
+                    {{ let idx := 0 }}
+                    lt(idx, k)
+                    {{ idx := add(idx, 1) }}
+                {{
+                    x_n := mulmod(x_n, x_n, r)
+                }}
+
+                let omega := mload(OMEGA_MPTR)
+
+                let mptr := X_N_MPTR
+                let mptr_end := add(mptr, mul(0x20, add(mload(NUM_INSTANCES_MPTR), {blinders_plus_1})))
+                if iszero(mload(NUM_INSTANCES_MPTR)) {{
+                    mptr_end := add(mptr_end, 0x20)
+                }}
+                for
+                    {{ let pow_of_omega := mload(OMEGA_INV_TO_L_MPTR) }}
+                    lt(mptr, mptr_end)
+                    {{ mptr := add(mptr, 0x20) }}
+                {{
+                    mstore(mptr, addmod(x, sub(r, pow_of_omega), r))
+                    pow_of_omega := mulmod(pow_of_omega, omega, r)
+                }}
+                let x_n_minus_1 := addmod(x_n, sub(r, 1), r)
+                mstore(mptr_end, x_n_minus_1)
+                success := batch_invert(success, X_N_MPTR, add(mptr_end, 0x20), r)
+
+                mptr := X_N_MPTR
+                let l_i_common := mulmod(x_n_minus_1, mload(N_INV_MPTR), r)
+                for
+                    {{ let pow_of_omega := mload(OMEGA_INV_TO_L_MPTR) }}
+                    lt(mptr, mptr_end)
+                    {{ mptr := add(mptr, 0x20) }}
+                {{
+                    mstore(mptr, mulmod(l_i_common, mulmod(mload(mptr), pow_of_omega, r), r))
+                    pow_of_omega := mulmod(pow_of_omega, omega, r)
+                }}
+
+                let l_blind := mload(add(X_N_MPTR, 0x20))
+                let l_i_cptr := add(X_N_MPTR, 0x40)
+                for
+                    {{ let l_i_cptr_end := add(X_N_MPTR, 0x{bp1:02x}) }}
+                    lt(l_i_cptr, l_i_cptr_end)
+                    {{ l_i_cptr := add(l_i_cptr, 0x20) }}
+                {{
+                    l_blind := addmod(l_blind, mload(l_i_cptr), r)
+                }}
+
+                let instance_eval := 0
+                for
+                    {{
+                        let instance_cptr := INSTANCE_CPTR
+                        let instance_cptr_end := add(instance_cptr, mul(0x20, mload(NUM_INSTANCES_MPTR)))
+                    }}
+                    lt(instance_cptr, instance_cptr_end)
+                    {{
+                        instance_cptr := add(instance_cptr, 0x20)
+                        l_i_cptr := add(l_i_cptr, 0x20)
+                    }}
+                {{
+                    instance_eval := addmod(instance_eval, mulmod(mload(l_i_cptr), calldataload(instance_cptr), r), r)
+                }}
+
+                let x_n_minus_1_inv := mload(mptr_end)
+                let l_last := mload(X_N_MPTR)
+                let l_0 := mload(add(X_N_MPTR, 0x{bp1:02x}))
+
+                mstore(X_N_MPTR, x_n)
+                mstore(X_N_MINUS_1_INV_MPTR, x_n_minus_1_inv)
+                mstore(L_LAST_MPTR, l_last)
+                mstore(L_BLIND_MPTR, l_blind)
+                mstore(L_0_MPTR, l_0)
+                mstore(INSTANCE_EVAL_MPTR, instance_eval)
             }}
 
-            // Final pairing check performed via precompiles 0x06/0x07/0x08
-            // (see models/verifier.py for the executable specification).
+            // Compute quotient evaluation
+            {{
+                let quotient_eval_numer
+                let delta := {delta}
+                let y := mload(Y_MPTR)
+{gate_blocks}
+{argument_blocks}
+
+                pop(y)
+                pop(delta)
+
+                let quotient_eval := mulmod(quotient_eval_numer, mload(X_N_MINUS_1_INV_MPTR), r)
+                mstore(QUOTIENT_EVAL_MPTR, quotient_eval)
+            }}
+
+            // Compute quotient commitment
+            {{
+                mstore(0x00, calldataload(LAST_QUOTIENT_X_CPTR))
+                mstore(0x20, calldataload(add(LAST_QUOTIENT_X_CPTR, 0x20)))
+                let x_n := mload(X_N_MPTR)
+                for
+                    {{
+                        let cptr := sub(LAST_QUOTIENT_X_CPTR, 0x40)
+                        let cptr_end := sub(FIRST_QUOTIENT_X_CPTR, 0x40)
+                    }}
+                    lt(cptr_end, cptr)
+                    {{}}
+                {{
+                    success := ec_mul_acc(success, x_n)
+                    success := ec_add_acc(success, calldataload(cptr), calldataload(add(cptr, 0x20)))
+                    cptr := sub(cptr, 0x40)
+                }}
+                mstore(QUOTIENT_X_MPTR, mload(0x00))
+                mstore(QUOTIENT_Y_MPTR, mload(0x20))
+            }}
+
+            // Compute pairing lhs and rhs
+            {{
+{point_block}
+{mu_diff_block}
+{coeff_blocks}
+{normalize_block}
+{r_eval_blocks}
+{sum_blocks}
+{r_eval_combine_block}
+{pairing_acc_block}
+            }}
+
+            // Perform pairing
+            success := ec_pairing(
+                success,
+                mload(PAIRING_LHS_X_MPTR),
+                mload(PAIRING_LHS_Y_MPTR),
+                mload(PAIRING_RHS_X_MPTR),
+                mload(PAIRING_RHS_Y_MPTR)
+            )
+
+            // Revert if anything fails
+            if iszero(success) {{ revert(0x00, 0x00) }}
+
+            // Return 1 as result if everything succeeds
             mstore(0x00, 1)
             return(0x00, 0x20)
         }}
