@@ -286,7 +286,7 @@ class SolidityGenerator:
     def _emit_expr(self, em: YulEmitter, expr: E.Expr) -> str:
         cs = self.cs
         if isinstance(expr, E.Const):
-            return "0x%x" % expr.value
+            return "0x%064x" % expr.value
         if isinstance(expr, E.FixedQuery):
             col, rot = cs.fixed_queries[expr.query_index]
             return f"calldataload(0x{self.eval_of[('fixed', col, rot)]:04x})"
@@ -308,7 +308,7 @@ class SolidityGenerator:
             return em.let(f"mulmod({a}, {b}, r)")
         if isinstance(expr, E.Scaled):
             a = self._emit_expr(em, expr.inner)
-            return em.let(f"mulmod({a}, 0x{expr.scalar:x}, r)")
+            return em.let(f"mulmod({a}, 0x{expr.scalar:064x}, r)")
         raise TypeError(expr)
 
     def _block(self, lines: list[str], indent: int = 16) -> str:
@@ -402,7 +402,8 @@ class SolidityGenerator:
                     f"rhs := mulmod(rhs, addmod(addmod({col_eval(col)}, "
                     "mload(0x00), r), gamma, r), r)"
                 )
-                lines.append("mstore(0x00, mulmod(mload(0x00), delta, r))")
+                if s < self.nperm - 1 or i < len(cols) - 1:
+                    lines.append("mstore(0x00, mulmod(mload(0x00), delta, r))")
             lines += [
                 "let left_sub_right := addmod(lhs, sub(r, rhs), r)",
                 "let eval := addmod(left_sub_right, sub(r, mulmod(left_sub_right, "

@@ -73,7 +73,12 @@ def render_pinned(vk: VerifyingKey, extended_k: int | None = None) -> str:
     cs = vk.cs
     k = vk.k
     if extended_k is None:
-        extended_k = k + max(1, (cs.degree() - 1).bit_length())
+        # EvaluationDomain::new: smallest extended_k with
+        # 2^extended_k >= n * quotient_poly_degree
+        quot = cs.degree() - 1
+        extended_k = k
+        while (1 << extended_k) < (1 << k) * quot:
+            extended_k += 1
 
     gates = ", ".join(
         _expr(p) for gate in cs.gates for p in gate.polys

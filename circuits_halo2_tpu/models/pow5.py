@@ -57,10 +57,16 @@ def configure(
     rc_a: list[Column],
     rc_b: list[Column],
 ) -> Pow5Config:
+    # halo2_gadgets Pow5Chip::configure semantics: equality on the state
+    # AND all rc_b columns (rc_b doubles as fixed "scratch space"), but
+    # enable_constant on rc_b[0] ONLY — the distinction is invisible to
+    # keygen output yet pins the `constants` list in the VK digest
+    # (PinnedConstraintSystem.constants = [rc_b[0]]).
     for col in state:
         cs.enable_equality(col)
     for col in rc_b:
-        cs.enable_constant(col)
+        cs.enable_equality(col)
+    cs.enable_constant(rc_b[0])
 
     s_full = cs.selector()
     s_partial = cs.selector()

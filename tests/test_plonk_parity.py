@@ -88,6 +88,16 @@ def test_vk_commitments_match_reference(keys):
     assert vk.permutation_commitments == want_perm
 
 
+def test_vk_transcript_repr_matches_reference(keys):
+    """Blake2b pinned-VK digest parity: our rendering of the Rust fork's
+    `format!("{:?}", vk.pinned())` hashes to the exact vk_digest hard-coded
+    in the reference-generated InclusionVerifier.sol. This pins the entire
+    constraint-system structure (gates, queries, permutation, lookups,
+    constants, domain) character-for-character."""
+    vk, _ = keys
+    assert vk.transcript_repr == int(VK_FIX["vk_digest"], 16)
+
+
 def test_reference_proof_fixture_verifies(params, keys):
     vk, _ = keys
     proof = bytes.fromhex(PROOF_FIX["proof"][2:])
