@@ -10,9 +10,19 @@ Replaces halo2's ``create_proof`` with ``ProverSHPLONK`` (reference use:
 5. evaluations at x·ω^rot                                  → ζ, ν
 6. SHPLONK h_x commitment W                                → μ, then W'
 
-Polynomial-heavy steps (NTTs, extended-domain pointwise gate evaluation,
-vanishing division) run on the device limb backend (utils/poly_device);
-commitments use the Pippenger MSM; the Fiat–Shamir transcript is host-side.
+TPU-shaped: every polynomial lives as a (16, B, n) Montgomery limb tensor.
+Lagrange→coeff→extended transforms are ONE batched NTT dispatch over all
+columns; grand products are log-depth cumprod scans; batched inversions use
+the prefix/suffix-product trick; point evaluations are powers-dot
+reductions; the SHPLONK linear divisions are suffix-sum scans
+(utils/poly_device). The host touches only scalars: the Fiat–Shamir
+transcript, blinding draws, and the tiny (≤3-point) r_j interpolations.
+Commitments go through the batched device Pippenger (ops/msm).
+
+This replaces halo2's rayon-parallel per-row loops
+(`plonk/prover.rs` + `poly/domain.rs` in the summa-dev fork) with
+log-depth device collectives — the design that scales to the k=17
+north-star config (BASELINE.md).
 
 Blinding is drawn from an injectable deterministic RNG so proofs are
 reproducible in tests (the reference uses OsRng — any valid blinding
@@ -23,15 +33,18 @@ from __future__ import annotations
 
 import hashlib
 
-from ..ops import curve as C
+import jax.numpy as jnp
+
 from ..ops import field as F
+from ..ops import field_jax as FJ
 from ..ops import msm as MSM
+from ..ops import ntt as NTT
+from ..utils import poly_device
 from ..utils.srs import ParamsKZG
 from ..utils.transcript import KeccakTranscript
-from ..utils import poly_device
 from .assignment import Assignment
 from .keygen import DELTA, ProvingKey
-from .verifier import multiopen_queries, num_perm_sets, perm_chunk_len, rotation_sets
+from .verifier import num_perm_sets, perm_chunk_len, rotation_sets
 
 P = F.FR_MOD
 
@@ -49,42 +62,6 @@ class BlindingRng:
         ).digest()
         self.counter += 1
         return int.from_bytes(h, "little") % P
-
-
-def _poly_eval(coeffs: list[int], x: int) -> int:
-    acc = 0
-    for c in reversed(coeffs):
-        acc = (acc * x + c) % P
-    return acc
-
-
-def _divide_linear(coeffs: list[int], point: int) -> list[int]:
-    """Exact division by (X - point); remainder must vanish."""
-    out = [0] * (len(coeffs) - 1)
-    rem = 0
-    for i in range(len(coeffs) - 1, -1, -1):
-        cur = (coeffs[i] + rem * point) % P
-        if i == 0:
-            assert cur == 0, "non-zero remainder in linear division"
-        else:
-            out[i - 1] = cur
-            rem = cur
-    return out
-
-
-def _row_eval(expr, row: int, n: int, advice, fixed, instance, cs):
-    ops = {
-        "constant": lambda v: v % P,
-        "fixed": lambda q, c, r: fixed[c][(row + r) % n],
-        "advice": lambda q, c, r: advice[c][(row + r) % n],
-        "instance": lambda q, c, r: instance[c][(row + r) % n],
-        "negated": lambda a: (-a) % P,
-        "sum": lambda a, b: (a + b) % P,
-        "product": lambda a, b: a * b % P,
-        "scaled": lambda a, k: a * k % P,
-        "selector": None,
-    }
-    return expr.evaluate(ops)
 
 
 def prove(
@@ -109,6 +86,7 @@ def prove(
     chunk = perm_chunk_len(cs)
 
     dom = poly_device.Domain(vk.k, cs.degree())
+    PD = poly_device
 
     t = transcript_cls()
     t.common_scalar(vk_digest if vk_digest is not None else vk.transcript_repr)
@@ -130,26 +108,43 @@ def prove(
         t.write_point(pt)
     theta = t.squeeze_challenge()
 
+    # device Lagrange tensors (base domain) for every committed column
+    advice_dev = dom.cols_to_device(advice)
+    fixed_dev = dom.cols_to_device(fixed)
+    inst_dev = dom.cols_to_device(instance_vals)
+    sigma_dev = dom.cols_to_device(vk.sigma_values)
+
+    def base_col(kind: str, idx: int):
+        return {"advice": advice_dev, "fixed": fixed_dev,
+                "instance": inst_dev}[kind][:, idx]
+
+    base_ops = {
+        "constant": lambda v: dom.const_dev(v % P),
+        "fixed": lambda q, c, r: dom.rotate_base(base_col("fixed", c), r),
+        "advice": lambda q, c, r: dom.rotate_base(base_col("advice", c), r),
+        "instance": lambda q, c, r: dom.rotate_base(base_col("instance", c), r),
+        "negated": lambda a: FJ.neg_mod(a),
+        "sum": lambda a, b: FJ.add_mod(a, b),
+        "product": lambda a, b: FJ.mont_mul(a, b),
+        "scaled": lambda a, k: FJ.mont_mul(a, dom.const_dev(k % P)),
+        "selector": None,
+    }
+    theta_d = dom.const_dev(theta)
+
+    def compress(exprs):
+        acc = None
+        for expr in exprs:
+            v = jnp.broadcast_to(expr.evaluate(base_ops), (16, n)).astype(jnp.uint32)
+            acc = v if acc is None else FJ.add_mod(FJ.mont_mul(acc, theta_d), v)
+        return acc
+
     # ---- phase 2: permuted lookup columns ---------------------------------
     lookups = []
     for lk in cs.lookups:
-        a_comp = [0] * n
-        s_comp = [0] * n
-        for row in range(n):
-            acc = 0
-            for expr in lk.input_exprs:
-                acc = (
-                    acc * theta
-                    + _row_eval(expr, row, n, advice, fixed, instance_vals, cs)
-                ) % P
-            a_comp[row] = acc
-            acc = 0
-            for expr in lk.table_exprs:
-                acc = (
-                    acc * theta
-                    + _row_eval(expr, row, n, advice, fixed, instance_vals, cs)
-                ) % P
-            s_comp[row] = acc
+        a_dev = compress(lk.input_exprs)
+        s_dev = compress(lk.table_exprs)
+        a_comp = dom.from_device(a_dev)
+        s_comp = dom.from_device(s_dev)
 
         # permute_expression_pair (halo2 lookup/prover.rs semantics)
         a_perm = sorted(a_comp[:usable])
@@ -173,7 +168,7 @@ def prove(
         a_perm = a_perm + [rng.next_field() for _ in range(blinders + 1)]
         s_perm = s_perm + [rng.next_field() for _ in range(blinders + 1)]
         lookups.append(
-            {"a": a_comp, "s": s_comp, "a_perm": a_perm, "s_perm": s_perm}
+            {"a_dev": a_dev, "s_dev": s_dev, "a_perm": a_perm, "s_perm": s_perm}
         )
     lk_rows = [c for lk in lookups for c in (lk["a_perm"], lk["s_perm"])]
     if lk_rows:
@@ -184,38 +179,42 @@ def prove(
     gamma = t.squeeze_challenge()
 
     # ---- phase 3: grand products + random poly ----------------------------
-    def column_values(col):
-        if col.kind == "advice":
-            return advice[col.index]
-        if col.kind == "fixed":
-            return fixed[col.index]
-        return instance_vals[col.index]
+    beta_d = dom.const_dev(beta)
+    gamma_d = dom.const_dev(gamma)
+    one_t = jnp.broadcast_to(dom.const_dev(1), (16, n)).astype(jnp.uint32)
+    active_mask = jnp.arange(n) < usable
+    omega_pows = dom.omega_pows
+
+    def masked_ratio(numer, denom):
+        """Π-ratio per active row; inactive lanes → 1 (keeps cumprod and
+        batched inversion clean)."""
+        numer = jnp.where(active_mask, numer, one_t)
+        denom = jnp.where(active_mask, denom, one_t)
+        return FJ.mont_mul(numer, PD.batch_inv_dev(denom))
+
+    def running_product(ratio, start: int):
+        """z[0]=start, z[i]=start·Π_{j<i} ratio_j (device log-depth scan)."""
+        pre = PD.mont_cumprod(ratio)
+        z_dev = jnp.concatenate([one_t[:, :1], pre[:, :-1]], axis=-1)
+        return FJ.mont_mul(z_dev, dom.const_dev(start))
 
     perm_zs = []
     last_z = 1  # sets chain: z_s(0) = z_{s-1}(omega^usable)
+    col_idx = 0
     for s in range(nperm):
         cols = cs.permutation_columns[s * chunk : (s + 1) * chunk]
-        sigmas = vk.sigma_values[s * chunk : (s + 1) * chunk]
-        numer = [1] * usable
-        denom = [1] * usable
-        for ci, col in enumerate(cols):
-            vals = column_values(col)
-            sig = sigmas[ci]
-            delta_pow = pow(DELTA, s * chunk + ci, P)
-            w = 1
-            for row in range(usable):
-                # z ratio = Π(v + β·δ^col·ω^row + γ) / Π(v + β·σ + γ)
-                numer[row] = (
-                    numer[row]
-                    * ((vals[row] + beta * delta_pow % P * w + gamma) % P)
-                    % P
-                )
-                denom[row] = denom[row] * ((vals[row] + beta * sig[row] + gamma) % P) % P
-                w = w * omega % P
-        denom_inv = F.batch_inv(denom)
-        z = [last_z] * n
-        for row in range(usable):
-            z[row + 1] = z[row] * numer[row] % P * denom_inv[row] % P
+        numer = None
+        denom = None
+        for col in cols:
+            vals = base_col(col.kind, col.index)
+            sig = sigma_dev[:, col_idx]
+            bd = dom.const_dev(beta * pow(DELTA, col_idx, P) % P)
+            nt = FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(bd, omega_pows)), gamma_d)
+            dt = FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_d, sig)), gamma_d)
+            numer = nt if numer is None else FJ.mont_mul(numer, nt)
+            denom = dt if denom is None else FJ.mont_mul(denom, dt)
+            col_idx += 1
+        z = dom.from_device(running_product(masked_ratio(numer, denom), last_z))
         last_z = z[usable]
         for row in range(usable + 1, n):
             z[row] = rng.next_field()
@@ -223,17 +222,17 @@ def prove(
 
     lookup_zs = []
     for lk in lookups:
-        numer = [
-            (lk["a"][i] + beta) * (lk["s"][i] + gamma) % P for i in range(usable)
-        ]
-        denom = [
-            (lk["a_perm"][i] + beta) * (lk["s_perm"][i] + gamma) % P
-            for i in range(usable)
-        ]
-        denom_inv = F.batch_inv(denom)
-        z = [1] * n
-        for row in range(usable):
-            z[row + 1] = z[row] * numer[row] % P * denom_inv[row] % P
+        ap_dev = dom.to_device(lk["a_perm"])
+        sp_dev = dom.to_device(lk["s_perm"])
+        lk["ap_dev"] = ap_dev
+        lk["sp_dev"] = sp_dev
+        numer = FJ.mont_mul(
+            FJ.add_mod(lk["a_dev"], beta_d), FJ.add_mod(lk["s_dev"], gamma_d)
+        )
+        denom = FJ.mont_mul(
+            FJ.add_mod(ap_dev, beta_d), FJ.add_mod(sp_dev, gamma_d)
+        )
+        z = dom.from_device(running_product(masked_ratio(numer, denom), 1))
         for row in range(usable + 1, n):
             z[row] = rng.next_field()
         lookup_zs.append(z)
@@ -245,42 +244,50 @@ def prove(
     t.write_point(MSM.msm_auto(params.g, random_poly))
     y = t.squeeze_challenge()
 
-    # ---- phase 4: quotient on the extended domain (device) ----------------
-    import jax.numpy as jnp
-    from ..ops import field_jax as FJ
-
-    def to_ext(values):
-        dev = dom.to_device(values)
-        return dom.coeff_to_extended(dom.lagrange_to_coeff(dev))
-
-    adv_ext = [to_ext(col) for col in advice]
-    fix_ext = [to_ext(col) for col in fixed]
-    inst_ext = [to_ext(col) for col in instance_vals]
-    sig_ext = [to_ext(col) for col in vk.sigma_values]
-    permz_ext = [to_ext(z) for z in perm_zs]
-    lookupz_ext = [to_ext(z) for z in lookup_zs]
-    aperm_ext = [to_ext(lk["a_perm"]) for lk in lookups]
-    sperm_ext = [to_ext(lk["s_perm"]) for lk in lookups]
-
+    # ---- batched Lagrange → coeff → extended transforms -------------------
+    # One concatenated (16, B, n) tensor; ONE batched iNTT gives every
+    # coefficient form (reused by phases 5/6), one batched coset-NTT gives
+    # every extended form (phase 4).
     l0_vals = [0] * n
     l0_vals[0] = 1
     llast_vals = [0] * n
     llast_vals[usable] = 1
     lactive_vals = [1 if r < usable else 0 for r in range(n)]
-    l0_ext = to_ext(l0_vals)
-    llast_ext = to_ext(llast_vals)
-    lactive_ext = to_ext(lactive_vals)
 
-    # coset points tensor (identity polynomial X on the extended domain)
-    g = poly_device.COSET_GEN
-    pts = [0] * dom.n_ext
-    acc = g
-    w = dom.omega_ext
-    for i in range(dom.n_ext):
-        pts[i] = acc
-        acc = acc * w % P
-    x_ext = dom.to_device(pts)
+    group_tensors = [advice_dev, fixed_dev, inst_dev, sigma_dev]
+    group_names = ["advice", "fixed", "instance", "sigma"]
+    group_tensors.append(dom.cols_to_device(perm_zs))
+    group_names.append("perm_z")
+    if lookups:
+        group_tensors.append(dom.cols_to_device(lookup_zs))
+        group_names.append("lookup_z")
+        group_tensors.append(
+            jnp.stack([lk["ap_dev"] for lk in lookups], axis=1)
+        )
+        group_names.append("lookup_a")
+        group_tensors.append(
+            jnp.stack([lk["sp_dev"] for lk in lookups], axis=1)
+        )
+        group_names.append("lookup_s")
+    group_tensors.append(dom.cols_to_device([l0_vals, llast_vals, lactive_vals]))
+    group_names.append("special")
 
+    offsets = {}
+    ptr = 0
+    for name, tensor in zip(group_names, group_tensors):
+        offsets[name] = ptr
+        ptr += tensor.shape[1]
+    big = jnp.concatenate(group_tensors, axis=1)  # (16, B, n)
+    big_coeff = dom.lagrange_to_coeff(big)
+    big_ext = dom.coeff_to_extended(big_coeff)
+
+    def coeff_slice(name, idx):
+        return big_coeff[:, offsets[name] + idx]
+
+    def ext_slice(name, idx):
+        return big_ext[:, offsets[name] + idx]
+
+    # ---- phase 4: quotient on the extended domain -------------------------
     one = dom.const_dev(1)
 
     def cdev(v):
@@ -291,11 +298,7 @@ def prove(
     def rot(kind, idx, r):
         key = (kind, idx, r)
         if key not in rot_cache:
-            base = {
-                "advice": adv_ext,
-                "fixed": fix_ext,
-                "instance": inst_ext,
-            }[kind][idx]
+            base = ext_slice(kind, idx)
             rot_cache[key] = base if r == 0 else dom.rotate_ext(base, r)
         return rot_cache[key]
 
@@ -310,6 +313,11 @@ def prove(
         "scaled": lambda a, k: FJ.mont_mul(a, cdev(k)),
         "selector": None,
     }
+
+    l0_ext = ext_slice("special", 0)
+    llast_ext = ext_slice("special", 1)
+    lactive_ext = ext_slice("special", 2)
+    permz_ext = [ext_slice("perm_z", s) for s in range(nperm)]
 
     terms = []
     for gate in cs.gates:
@@ -327,7 +335,17 @@ def prove(
         terms.append(("perm:cont", FJ.mont_mul(l0_ext, FJ.sub_mod(permz_ext[s], prev_last))))
     beta_d = cdev(beta)
     gamma_d = cdev(gamma)
-    delta_pow = beta
+
+    # identity polynomial X on the extended coset grid
+    g = poly_device.COSET_GEN
+    pts = [0] * dom.n_ext
+    acc = g
+    w = dom.omega_ext
+    for i in range(dom.n_ext):
+        pts[i] = acc
+        acc = acc * w % P
+    x_ext = dom.to_device(pts)
+
     bx = FJ.mont_mul(beta_d, x_ext)
     col_idx = 0
     for s in range(nperm):
@@ -336,7 +354,7 @@ def prove(
         rhs = permz_ext[s]
         for ci, col in enumerate(cols):
             vals = rot(col.kind, col.index, 0)
-            sig = sig_ext[col_idx]
+            sig = ext_slice("sigma", col_idx)
             lhs = FJ.mont_mul(
                 lhs,
                 FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_d, sig)), gamma_d),
@@ -351,9 +369,9 @@ def prove(
     # lookup terms
     theta_d = cdev(theta)
     for li, lk in enumerate(cs.lookups):
-        z = lookupz_ext[li]
-        a_p = aperm_ext[li]
-        s_p = sperm_ext[li]
+        z = ext_slice("lookup_z", li)
+        a_p = ext_slice("lookup_a", li)
+        s_p = ext_slice("lookup_s", li)
         comp_in = None
         for expr in lk.input_exprs:
             v = expr.evaluate(dev_ops)
@@ -385,7 +403,6 @@ def prove(
         )
 
     if _diag:
-        from ..ops import ntt as _ntt
         check_rows = [0, 1, 2, 3, 4, 5, 6, 42, 43, 44, 45, 46, 82]
         for label, term in terms:
             tc = dom.from_device(dom.extended_to_coeff(
@@ -393,7 +410,7 @@ def prove(
             rem = [0] * n
             for i, c in enumerate(tc):
                 rem[i % n] = (rem[i % n] + c) % P
-            evals = _ntt.ntt_host(rem, omega)
+            evals = NTT.ntt_host(rem, omega)
             bad_rows = [j for j in check_rows if evals[j]]
             total_bad = sum(1 for v in evals if v)
             if total_bad:
@@ -408,7 +425,8 @@ def prove(
         term = jnp.broadcast_to(term, (16, dom.n_ext)).astype(jnp.uint32)
         numer = term if numer is None else FJ.add_mod(FJ.mont_mul(numer, y_d), term)
     h_ext = dom.divide_by_vanishing(numer)
-    h_coeffs = dom.from_device(dom.extended_to_coeff(h_ext))
+    h_coeff_dev = dom.extended_to_coeff(h_ext)  # (16, n_ext)
+    h_coeffs = dom.from_device(h_coeff_dev)
 
     # strip top zero coefficients into exactly (degree-1) pieces of size n
     num_h = cs.degree() - 1
@@ -418,69 +436,87 @@ def prove(
         t.write_point(pt)
     x = t.squeeze_challenge()
 
-    # ---- phase 5: evaluations ---------------------------------------------
-    # coefficient forms (host ints) for evaluation + multiopen
-    def coeffs_of(values):
-        return dom.from_device(dom.lagrange_to_coeff(dom.to_device(values)))
-
-    advice_coeffs = [coeffs_of(col) for col in advice]
-    permz_coeffs = [coeffs_of(z) for z in perm_zs]
-    lookupz_coeffs = [coeffs_of(z) for z in lookup_zs]
-    aperm_coeffs = [coeffs_of(lk["a_perm"]) for lk in lookups]
-    sperm_coeffs = [coeffs_of(lk["s_perm"]) for lk in lookups]
-    fixed_coeffs = pk.fixed_polys
-    sigma_coeffs = pk.sigma_polys
-
+    # ---- phase 5: evaluations (batched powers-dot on device) --------------
     x_next = x * omega % P
     x_prev = x * F.fr_inv(omega) % P
     x_last = x * F.fr_pow(F.fr_inv(omega), blinders + 1) % P
     x_n = F.fr_pow(x, n)
 
+    eval_cache: dict = {}
+    pw_cache: dict = {}
+
+    def evals_at(point: int) -> list[int]:
+        """All batched columns evaluated at `point` (one device dispatch)."""
+        if point not in eval_cache:
+            pw = PD.powers_dev(point, n)
+            pw_cache[point] = pw
+            eval_cache[point] = dom.scalars_from_device(
+                PD.eval_coeffs_at(big_coeff, pw)
+            )
+        return eval_cache[point]
+
+    def ev(name, idx, point) -> int:
+        return evals_at(point)[offsets[name] + idx]
+
+    random_dev = dom.to_device(random_poly)  # coefficient form
+
     for col, rot_i in cs.advice_queries:
         point = x * F.fr_pow(omega, rot_i % n) % P
-        t.write_scalar(_poly_eval(advice_coeffs[col], point))
+        t.write_scalar(ev("advice", col, point))
     for col, rot_i in cs.fixed_queries:
         point = x * F.fr_pow(omega, rot_i % n) % P
-        t.write_scalar(_poly_eval(fixed_coeffs[col], point))
-    t.write_scalar(_poly_eval(random_poly, x))
+        t.write_scalar(ev("fixed", col, point))
+    t.write_scalar(
+        dom.scalars_from_device(
+            PD.eval_coeffs_at(random_dev, pw_cache.setdefault(x, PD.powers_dev(x, n)))
+        )[0]
+    )
     for i in range(len(cs.permutation_columns)):
-        t.write_scalar(_poly_eval(sigma_coeffs[i], x))
+        t.write_scalar(ev("sigma", i, x))
     for s in range(nperm):
-        t.write_scalar(_poly_eval(permz_coeffs[s], x))
-        t.write_scalar(_poly_eval(permz_coeffs[s], x_next))
+        t.write_scalar(ev("perm_z", s, x))
+        t.write_scalar(ev("perm_z", s, x_next))
         if s < nperm - 1:
-            t.write_scalar(_poly_eval(permz_coeffs[s], x_last))
+            t.write_scalar(ev("perm_z", s, x_last))
     for li in range(len(cs.lookups)):
-        t.write_scalar(_poly_eval(lookupz_coeffs[li], x))
-        t.write_scalar(_poly_eval(lookupz_coeffs[li], x_next))
-        t.write_scalar(_poly_eval(aperm_coeffs[li], x))
-        t.write_scalar(_poly_eval(aperm_coeffs[li], x_prev))
-        t.write_scalar(_poly_eval(sperm_coeffs[li], x))
+        t.write_scalar(ev("lookup_z", li, x))
+        t.write_scalar(ev("lookup_z", li, x_next))
+        t.write_scalar(ev("lookup_a", li, x))
+        t.write_scalar(ev("lookup_a", li, x_prev))
+        t.write_scalar(ev("lookup_s", li, x))
 
     zeta = t.squeeze_challenge()
     nu = t.squeeze_challenge()
 
-    # ---- phase 6: SHPLONK multiopen ---------------------------------------
-    h_combined = [0] * n
+    # ---- phase 6: SHPLONK multiopen (device poly combination) -------------
+    # quotient pieces recombined with x^n weights
+    h_pieces_dev = h_coeff_dev[:, : num_h * n].reshape(16, num_h, n)
+    h_combined_dev = None
     xn_pow = 1
-    for piece in h_pieces:
-        for i, c in enumerate(piece):
-            h_combined[i] = (h_combined[i] + xn_pow * c) % P
+    for i in range(num_h):
+        piece = FJ.mont_mul(h_pieces_dev[:, i], cdev(xn_pow))
+        h_combined_dev = piece if h_combined_dev is None else FJ.add_mod(h_combined_dev, piece)
         xn_pow = xn_pow * x_n % P
 
-    def poly_coeffs(poly):
+    def poly_coeff_dev(poly):
         kind = poly[0]
-        return {
-            "advice": lambda: advice_coeffs[poly[1]],
-            "fixed": lambda: fixed_coeffs[poly[1]],
-            "sigma": lambda: sigma_coeffs[poly[1]],
-            "perm_z": lambda: permz_coeffs[poly[1]],
-            "lookup_z": lambda: lookupz_coeffs[poly[1]],
-            "lookup_a": lambda: aperm_coeffs[poly[1]],
-            "lookup_s": lambda: sperm_coeffs[poly[1]],
-            "quotient": lambda: h_combined,
-            "random": lambda: random_poly,
-        }[kind]()
+        if kind == "quotient":
+            return h_combined_dev
+        if kind == "random":
+            return random_dev
+        return coeff_slice(kind, poly[1])
+
+    def poly_eval_at(poly, point) -> int:
+        kind = poly[0]
+        if kind == "quotient":
+            return dom.scalars_from_device(
+                PD.eval_coeffs_at(h_combined_dev, pw_cache[point])
+            )[0]
+        if kind == "random":
+            return dom.scalars_from_device(
+                PD.eval_coeffs_at(random_dev, pw_cache[point])
+            )[0]
+        return evals_at(point)[offsets[kind] + poly[1]]
 
     sets = rotation_sets(cs)
     point_of = {}
@@ -488,25 +524,28 @@ def prove(
         for r in rots:
             point_of.setdefault(r, x * F.fr_pow(omega, r % n) % P)
 
-    set_polys = []
+    set_devs = []  # (rots, f_dev, f_evals at set points)
     for rots, polys in sets:
-        f = [0] * n
+        f_dev = None
         zeta_pow = 1
+        evals = [0] * len(rots)
         for poly in polys:
-            pc = poly_coeffs(poly)
-            for i, c in enumerate(pc):
-                f[i] = (f[i] + zeta_pow * c) % P
+            pc = FJ.mont_mul(poly_coeff_dev(poly), cdev(zeta_pow))
+            f_dev = pc if f_dev is None else FJ.add_mod(f_dev, pc)
+            for i, r in enumerate(rots):
+                evals[i] = (
+                    evals[i] + zeta_pow * poly_eval_at(poly, point_of[r])
+                ) % P
             zeta_pow = zeta_pow * zeta % P
-        set_polys.append((rots, f))
+        set_devs.append((rots, f_dev, evals))
 
-    h_x = [0] * n
+    h_x_dev = None
     nu_pow = 1
-    for rots, f in set_polys:
+    for rots, f_dev, evals in set_devs:
         pts_j = [point_of[r] for r in rots]
-        evals = [_poly_eval(f, pt) for pt in pts_j]
-        # r_j: Lagrange interpolation through (pts_j, evals)
+        # r_j: Lagrange interpolation through (pts_j, evals) — tiny, host
         r_coeffs = [0] * len(pts_j)
-        for i, (pt, ev) in enumerate(zip(pts_j, evals)):
+        for i, (pt, ev_i) in enumerate(zip(pts_j, evals)):
             basis = [1]
             denom = 1
             for jj, other in enumerate(pts_j):
@@ -518,22 +557,23 @@ def prove(
                     for kk in range(len(basis) + 1)
                 ]
                 denom = denom * (pt - other) % P
-            scale = ev * F.fr_inv(denom) % P
+            scale = ev_i * F.fr_inv(denom) % P
             for kk, b in enumerate(basis):
                 r_coeffs[kk] = (r_coeffs[kk] + scale * b) % P
-        q = [(a - b) % P for a, b in zip(f, list(r_coeffs) + [0] * (n - len(r_coeffs)))]
+        r_dev = jnp.zeros((16, n), jnp.uint32)
+        r_dev = r_dev.at[:, : len(r_coeffs)].set(dom.to_device(r_coeffs))
+        q = FJ.sub_mod(f_dev, r_dev)
         for pt in pts_j:
-            q = _divide_linear(q, pt) + [0]
-        for i, c in enumerate(q):
-            h_x[i] = (h_x[i] + nu_pow * c) % P
+            q = PD.divide_linear_dev(q, pt)
+        q = FJ.mont_mul(q, cdev(nu_pow))
+        h_x_dev = q if h_x_dev is None else FJ.add_mod(h_x_dev, q)
         nu_pow = nu_pow * nu % P
 
-    t.write_point(MSM.msm_auto(params.g, h_x))
+    t.write_point(MSM.msm_auto(params.g, dom.from_device(h_x_dev)))
     mu = t.squeeze_challenge()
 
-    universe = list(point_of.values())
     diffs = []
-    for rots, _ in set_polys:
+    for rots, _, _ in set_devs:
         d = 1
         for r, pt in point_of.items():
             if r not in rots:
@@ -541,32 +581,34 @@ def prove(
         diffs.append(d)
     diff0_inv = F.fr_inv(diffs[0])
     z0_mu = 1
-    for r in set_polys[0][0]:
+    for r in set_devs[0][0]:
         z0_mu = z0_mu * ((mu - point_of[r]) % P) % P
 
-    l_poly = [0] * n
+    l_dev = None
+    total_rmu = 0
     nu_pow = 1
-    for j, (rots, f) in enumerate(set_polys):
+    for j, (rots, f_dev, evals) in enumerate(set_devs):
         norm = diffs[j] * diff0_inv % P
         pts_j = [point_of[r] for r in rots]
-        evals = [_poly_eval(f, pt) for pt in pts_j]
-        # r_j(mu)
+        # r_j(mu) via barycentric through the set points (host, ≤3 points)
         r_mu = 0
-        for i, (pt, ev) in enumerate(zip(pts_j, evals)):
+        for i, (pt, ev_i) in enumerate(zip(pts_j, evals)):
             li = 1
             for jj, other in enumerate(pts_j):
                 if jj != i:
                     li = li * ((mu - other) * F.fr_inv((pt - other) % P) % P) % P
-            r_mu = (r_mu + ev * li) % P
+            r_mu = (r_mu + ev_i * li) % P
         coeff = nu_pow * norm % P
-        l_poly[0] = (l_poly[0] - coeff * r_mu) % P
-        for i, c in enumerate(f):
-            l_poly[i] = (l_poly[i] + coeff * c) % P
+        total_rmu = (total_rmu + coeff * r_mu) % P
+        fc = FJ.mont_mul(f_dev, cdev(coeff))
+        l_dev = fc if l_dev is None else FJ.add_mod(l_dev, fc)
         nu_pow = nu_pow * nu % P
-    for i, c in enumerate(h_x):
-        l_poly[i] = (l_poly[i] - z0_mu * c) % P
+    l_dev = FJ.sub_mod(l_dev, FJ.mont_mul(h_x_dev, cdev(z0_mu)))
+    e0 = jnp.zeros((16, n), jnp.uint32)
+    e0 = e0.at[:, :1].set(dom.const_dev(total_rmu).reshape(16, 1))
+    l_dev = FJ.sub_mod(l_dev, e0)
 
-    w_prime = _divide_linear(l_poly, mu)
-    t.write_point(MSM.msm_auto(params.g, w_prime))
+    w_prime_dev = PD.divide_linear_dev(l_dev, mu)
+    t.write_point(MSM.msm_auto(params.g, dom.from_device(w_prime_dev)))
 
     return t.finalize()

@@ -28,6 +28,7 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
-from circuits_halo2_tpu.utils import jaxcache  # noqa: E402
+if not os.environ.get("CIRCUITS_TPU_NO_CACHE"):
+    from circuits_halo2_tpu.utils import jaxcache  # noqa: E402
 
-jaxcache.enable()
+    jaxcache.enable()
