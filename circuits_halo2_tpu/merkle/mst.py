@@ -184,10 +184,18 @@ _R_INV = pow(1 << 256, -1, F.FR_MOD)
 
 
 def _to_mont_arr(xs: list[int]) -> np.ndarray:
+    from ..native import available as _native_ok, ints_to_limbs16
+
+    if _native_ok():
+        return ints_to_limbs16([x % F.FR_MOD for x in xs], to_mont=True)
     return FJ.ints_to_limbs([((x % F.FR_MOD) << 256) % F.FR_MOD for x in xs])
 
 
 def _from_mont_arr(limbs) -> list[int]:
+    from ..native import available as _native_ok, limbs16_to_ints
+
+    if _native_ok():
+        return limbs16_to_ints(np.asarray(limbs), from_mont=True)
     return [(v * _R_INV) % F.FR_MOD for v in FJ.limbs_to_ints(np.asarray(limbs))]
 
 

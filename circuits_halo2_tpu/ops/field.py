@@ -106,6 +106,11 @@ def batch_inv(values: list[int], mod: int = FR_MOD) -> list[int]:
     Zero entries are passed through as zero, matching halo2's
     ``batch_invert`` convention for skipped elements.
     """
+    if mod == FR_MOD and len(values) >= 64:
+        from ..native import available as _native_ok, batch_inv as _native_binv
+
+        if _native_ok():
+            return _native_binv([v % FR_MOD for v in values])
     n = len(values)
     prefix = [1] * (n + 1)
     for i, v in enumerate(values):

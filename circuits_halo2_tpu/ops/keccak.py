@@ -56,6 +56,14 @@ def _keccak_f(state: list[int]) -> None:
 
 
 def keccak256(data: bytes) -> bytes:
+    from ..native import available as _native_ok, keccak256 as _native_keccak
+
+    if _native_ok():
+        return _native_keccak(data)
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136  # 1088-bit rate for 256-bit output
     state = [[0] * 5 for _ in range(5)]
 

@@ -554,20 +554,30 @@ def _device_enabled() -> bool:
 DEVICE_THRESHOLD = 512
 
 
+def _msm_host(points, scalars):
+    """Host MSM: native C++ Pippenger when built, else the Python one."""
+    from ..native import available as _native_ok, g1_msm as _native_msm
+
+    if _native_ok():
+        return _native_msm(points, [s % F.FR_MOD for s in scalars])
+    return C.g1_msm_pippenger(points, scalars)
+
+
 def msm_auto(points, scalars):
     """Dispatch one MSM to the device Pippenger when it wins, else host.
 
     The device path is used on accelerator backends for n ≥ DEVICE_THRESHOLD
-    (override with CIRCUITS_MSM_DEVICE=0/1); the host Pippenger is the
-    fallback and the correctness reference.
+    (override with CIRCUITS_MSM_DEVICE=0/1); the host Pippenger (native C++
+    `fieldcc.g1_msm`, mirroring `best_multiexp`, with a pure-Python fallback)
+    is the correctness reference.
     """
     if len(points) >= DEVICE_THRESHOLD and _device_enabled():
         return msm_pippenger_device(points, [scalars])[0]
-    return C.g1_msm_pippenger(points, scalars)
+    return _msm_host(points, scalars)
 
 
 def msm_auto_batch(points, scalar_rows):
     """Batched MSMs over one base set (advice/fixed column commitments)."""
     if len(points) >= DEVICE_THRESHOLD and _device_enabled():
         return msm_pippenger_device(points, scalar_rows)
-    return [C.g1_msm_pippenger(points, row) for row in scalar_rows]
+    return [_msm_host(points, row) for row in scalar_rows]

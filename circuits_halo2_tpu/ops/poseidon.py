@@ -90,6 +90,14 @@ def permute(state: list[int]) -> list[int]:
 
 def hash_n(inputs: list[int]) -> int:
     """ConstantLength<L> Poseidon hash of L field elements (host path)."""
+    from ..native import available as _native_ok, poseidon_hash_batch
+
+    if _native_ok():
+        return poseidon_hash_batch([[x % F.FR_MOD for x in inputs]], len(inputs))[0]
+    return _hash_n_py(inputs)
+
+
+def _hash_n_py(inputs: list[int]) -> int:
     length = len(inputs)
     state = [0, (length << 64) % F.FR_MOD]
     for m in inputs:

@@ -23,6 +23,15 @@ from ..ops import curve as C
 from ..ops import field as F
 
 
+def _fixed_base_muls(base, scalars):
+    """[s·base for s in scalars] — native C++ windowed table when available."""
+    from ..native import available as _native_ok, g1_fixed_base_muls
+
+    if _native_ok():
+        return g1_fixed_base_muls(base, [s % F.FR_MOD for s in scalars])
+    return [C.g1_mul(base, s) for s in scalars]
+
+
 class ParamsKZG:
     def __init__(self, k: int, g, g_lagrange, g2, s_g2):
         self.k = k
@@ -71,12 +80,13 @@ class ParamsKZG:
             int.from_bytes(hashlib.sha256(seed + k.to_bytes(4, "little")).digest(), "little")
             % F.FR_MOD
         )
-        g = []
-        acc = 1
         gen = C.G1_GEN
+        powers = []
+        acc = 1
         for _ in range(n):
-            g.append(C.g1_mul(gen, acc))
+            powers.append(acc)
             acc = acc * s % F.FR_MOD
+        g = _fixed_base_muls(gen, powers)
         # L_i(s) = w^i (s^n - 1) / (n (s - w^i))
         omega = F.fr_pow(F.FR_ROOT_OF_UNITY, 1 << (F.FR_TWO_ADICITY - k))
         sn_minus_1 = (F.fr_pow(s, n) - 1) % F.FR_MOD
@@ -89,13 +99,13 @@ class ParamsKZG:
             omega_pows.append(w_i)
             w_i = w_i * omega % F.FR_MOD
         denom_invs = F.batch_inv(denoms)
-        g_lagrange = [
-            C.g1_mul(
-                gen,
-                sn_minus_1 * n_inv % F.FR_MOD * w % F.FR_MOD * di % F.FR_MOD,
-            )
-            for w, di in zip(omega_pows, denom_invs)
-        ]
+        g_lagrange = _fixed_base_muls(
+            gen,
+            [
+                sn_minus_1 * n_inv % F.FR_MOD * w % F.FR_MOD * di % F.FR_MOD
+                for w, di in zip(omega_pows, denom_invs)
+            ],
+        )
         g2 = C.G2_GEN
         s_g2 = C.g2_mul(g2, s)
         return cls(k, g, g_lagrange, g2, s_g2)
@@ -124,10 +134,14 @@ class ParamsKZG:
 
     def commit_lagrange(self, evals: list[int]):
         """Commit to a polynomial given by evaluations on the 2^k domain."""
+        from ..ops import msm
+
         assert len(evals) == self.n
-        return C.g1_msm(self.g_lagrange, evals)
+        return msm.msm_auto(self.g_lagrange, evals)
 
     def commit(self, coeffs: list[int]):
         """Commit to a polynomial in coefficient form (degree < 2^k)."""
+        from ..ops import msm
+
         assert len(coeffs) <= self.n
-        return C.g1_msm(self.g[: len(coeffs)], coeffs)
+        return msm.msm_auto(self.g[: len(coeffs)], coeffs)
