@@ -32,6 +32,8 @@ verifies; see SURVEY §7 "bit-exactness" note).
 from __future__ import annotations
 
 import hashlib
+import os
+import time
 
 import jax.numpy as jnp
 
@@ -85,8 +87,20 @@ def prove(
     nperm = num_perm_sets(cs)
     chunk = perm_chunk_len(cs)
 
-    dom = poly_device.Domain(vk.k, cs.degree())
+    dom = poly_device.domain(vk.k, cs.degree())
     PD = poly_device
+
+    _trace = os.environ.get("CIRCUITS_PROVE_TRACE")
+    _t0 = time.perf_counter()
+
+    def _mark(label: str) -> None:
+        """Per-phase wall-clock (CIRCUITS_PROVE_TRACE=1): the ark-std
+        start_timer!/end_timer! equivalent (`circuits/utils.rs:53-105`)."""
+        nonlocal _t0
+        if _trace:
+            now = time.perf_counter()
+            print(f"[prove] {label}: {now - _t0:.3f}s", flush=True)
+            _t0 = now
 
     t = transcript_cls()
     t.common_scalar(vk_digest if vk_digest is not None else vk.transcript_repr)
@@ -107,6 +121,7 @@ def prove(
     for pt in MSM.msm_auto_batch(params.g_lagrange, advice):
         t.write_point(pt)
     theta = t.squeeze_challenge()
+    _mark("phase1 synth+advice commits")
 
     # device Lagrange tensors (base domain) for every committed column
     advice_dev = dom.cols_to_device(advice)
@@ -114,37 +129,25 @@ def prove(
     inst_dev = dom.cols_to_device(instance_vals)
     sigma_dev = dom.cols_to_device(vk.sigma_values)
 
-    def base_col(kind: str, idx: int):
-        return {"advice": advice_dev, "fixed": fixed_dev,
-                "instance": inst_dev}[kind][:, idx]
-
-    base_ops = {
-        "constant": lambda v: dom.const_dev(v % P),
-        "fixed": lambda q, c, r: dom.rotate_base(base_col("fixed", c), r),
-        "advice": lambda q, c, r: dom.rotate_base(base_col("advice", c), r),
-        "instance": lambda q, c, r: dom.rotate_base(base_col("instance", c), r),
-        "negated": lambda a: FJ.neg_mod(a),
-        "sum": lambda a, b: FJ.add_mod(a, b),
-        "product": lambda a, b: FJ.mont_mul(a, b),
-        "scaled": lambda a, k: FJ.mont_mul(a, dom.const_dev(k % P)),
-        "selector": None,
-    }
-    theta_d = dom.const_dev(theta)
-
-    def compress(exprs):
-        acc = None
-        for expr in exprs:
-            v = jnp.broadcast_to(expr.evaluate(base_ops), (16, n)).astype(jnp.uint32)
-            acc = v if acc is None else FJ.add_mod(FJ.mont_mul(acc, theta_d), v)
-        return acc
-
     # ---- phase 2: permuted lookup columns ---------------------------------
+    # All lookup input/table compressions run as ONE jitted dispatch; the
+    # sort-based permute_expression_pair is inherently host-side.
+    ph = _phase23_fns(pk, cs, dom, usable, nperm, chunk)
+    theta_m = dom.to_device([theta])
+
     lookups = []
-    for lk in cs.lookups:
-        a_dev = compress(lk.input_exprs)
-        s_dev = compress(lk.table_exprs)
-        a_comp = dom.from_device(a_dev)
-        s_comp = dom.from_device(s_dev)
+    a_stack = s_stack = None
+    if cs.lookups:
+        nlk = len(cs.lookups)
+        a_stack, s_stack = ph.compress(advice_dev, fixed_dev, inst_dev, theta_m)
+        flat = dom.from_device(
+            jnp.concatenate([a_stack, s_stack], axis=1).reshape(16, -1)
+        )
+    for li, lk in enumerate(cs.lookups):
+        a_dev = a_stack[:, li]
+        s_dev = s_stack[:, li]
+        a_comp = flat[li * n : (li + 1) * n]
+        s_comp = flat[(nlk + li) * n : (nlk + li + 1) * n]
 
         # permute_expression_pair (halo2 lookup/prover.rs semantics)
         a_perm = sorted(a_comp[:usable])
@@ -177,62 +180,38 @@ def prove(
 
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
+    _mark("phase2 lookup permute+commit")
 
     # ---- phase 3: grand products + random poly ----------------------------
-    beta_d = dom.const_dev(beta)
-    gamma_d = dom.const_dev(gamma)
-    one_t = jnp.broadcast_to(dom.const_dev(1), (16, n)).astype(jnp.uint32)
-    active_mask = jnp.arange(n) < usable
-    omega_pows = dom.omega_pows
-
-    def masked_ratio(numer, denom):
-        """Π-ratio per active row; inactive lanes → 1 (keeps cumprod and
-        batched inversion clean)."""
-        numer = jnp.where(active_mask, numer, one_t)
-        denom = jnp.where(active_mask, denom, one_t)
-        return FJ.mont_mul(numer, PD.batch_inv_dev(denom))
-
-    def running_product(ratio, start: int):
-        """z[0]=start, z[i]=start·Π_{j<i} ratio_j (device log-depth scan)."""
-        pre = PD.mont_cumprod(ratio)
-        z_dev = jnp.concatenate([one_t[:, :1], pre[:, :-1]], axis=-1)
-        return FJ.mont_mul(z_dev, dom.const_dev(start))
-
+    # Every permutation-set and lookup grand product (batched inversion +
+    # log-depth cumprod each) is ONE jitted dispatch; the z columns come
+    # back in a single host pull for blinding + commitment.
+    beta_m = dom.to_device([beta])
+    gamma_m = dom.to_device([gamma])
+    if lookups:
+        ap_stack = dom.cols_to_device([lk["a_perm"] for lk in lookups])
+        sp_stack = dom.cols_to_device([lk["s_perm"] for lk in lookups])
+        for li, lk in enumerate(lookups):
+            lk["ap_dev"] = ap_stack[:, li]
+            lk["sp_dev"] = sp_stack[:, li]
+        z_stack = ph.grand(
+            advice_dev, fixed_dev, inst_dev, sigma_dev,
+            a_stack, s_stack, ap_stack, sp_stack, beta_m, gamma_m,
+        )
+    else:
+        z_stack = ph.grand_nolk(
+            advice_dev, fixed_dev, inst_dev, sigma_dev, beta_m, gamma_m
+        )
+    all_z = dom.from_device(z_stack.reshape(16, -1))
     perm_zs = []
-    last_z = 1  # sets chain: z_s(0) = z_{s-1}(omega^usable)
-    col_idx = 0
     for s in range(nperm):
-        cols = cs.permutation_columns[s * chunk : (s + 1) * chunk]
-        numer = None
-        denom = None
-        for col in cols:
-            vals = base_col(col.kind, col.index)
-            sig = sigma_dev[:, col_idx]
-            bd = dom.const_dev(beta * pow(DELTA, col_idx, P) % P)
-            nt = FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(bd, omega_pows)), gamma_d)
-            dt = FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_d, sig)), gamma_d)
-            numer = nt if numer is None else FJ.mont_mul(numer, nt)
-            denom = dt if denom is None else FJ.mont_mul(denom, dt)
-            col_idx += 1
-        z = dom.from_device(running_product(masked_ratio(numer, denom), last_z))
-        last_z = z[usable]
+        z = all_z[s * n : (s + 1) * n]
         for row in range(usable + 1, n):
             z[row] = rng.next_field()
         perm_zs.append(z)
-
     lookup_zs = []
-    for lk in lookups:
-        ap_dev = dom.to_device(lk["a_perm"])
-        sp_dev = dom.to_device(lk["s_perm"])
-        lk["ap_dev"] = ap_dev
-        lk["sp_dev"] = sp_dev
-        numer = FJ.mont_mul(
-            FJ.add_mod(lk["a_dev"], beta_d), FJ.add_mod(lk["s_dev"], gamma_d)
-        )
-        denom = FJ.mont_mul(
-            FJ.add_mod(ap_dev, beta_d), FJ.add_mod(sp_dev, gamma_d)
-        )
-        z = dom.from_device(running_product(masked_ratio(numer, denom), 1))
+    for li in range(len(lookups)):
+        z = all_z[(nperm + li) * n : (nperm + li + 1) * n]
         for row in range(usable + 1, n):
             z[row] = rng.next_field()
         lookup_zs.append(z)
@@ -243,6 +222,7 @@ def prove(
     random_poly = [rng.next_field() for _ in range(n)]
     t.write_point(MSM.msm_auto(params.g, random_poly))
     y = t.squeeze_challenge()
+    _mark("phase3 grand products+commits")
 
     # ---- batched Lagrange → coeff → extended transforms -------------------
     # One concatenated (16, B, n) tensor; ONE batched iNTT gives every
@@ -278,133 +258,21 @@ def prove(
         offsets[name] = ptr
         ptr += tensor.shape[1]
     big = jnp.concatenate(group_tensors, axis=1)  # (16, B, n)
-    big_coeff = dom.lagrange_to_coeff(big)
-    big_ext = dom.coeff_to_extended(big_coeff)
-
-    def coeff_slice(name, idx):
-        return big_coeff[:, offsets[name] + idx]
-
-    def ext_slice(name, idx):
-        return big_ext[:, offsets[name] + idx]
 
     # ---- phase 4: quotient on the extended domain -------------------------
-    one = dom.const_dev(1)
-
-    def cdev(v):
-        return dom.const_dev(v % P)
-
-    rot_cache: dict = {}
-
-    def rot(kind, idx, r):
-        key = (kind, idx, r)
-        if key not in rot_cache:
-            base = ext_slice(kind, idx)
-            rot_cache[key] = base if r == 0 else dom.rotate_ext(base, r)
-        return rot_cache[key]
-
-    dev_ops = {
-        "constant": lambda v: cdev(v),
-        "fixed": lambda q, c, r: rot("fixed", c, r),
-        "advice": lambda q, c, r: rot("advice", c, r),
-        "instance": lambda q, c, r: rot("instance", c, r),
-        "negated": lambda a: FJ.neg_mod(a),
-        "sum": lambda a, b: FJ.add_mod(a, b),
-        "product": lambda a, b: FJ.mont_mul(a, b),
-        "scaled": lambda a, k: FJ.mont_mul(a, cdev(k)),
-        "selector": None,
-    }
-
-    l0_ext = ext_slice("special", 0)
-    llast_ext = ext_slice("special", 1)
-    lactive_ext = ext_slice("special", 2)
-    permz_ext = [ext_slice("perm_z", s) for s in range(nperm)]
-
-    terms = []
-    for gate in cs.gates:
-        for gi, polyexpr in enumerate(gate.polys):
-            terms.append((f"gate:{gate.name}:{gi}", polyexpr.evaluate(dev_ops)))
-
-    # permutation terms
-    z0 = permz_ext[0]
-    terms.append(("perm:l0", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z0))))
-    zl = permz_ext[-1]
-    terms.append(("perm:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(zl, zl), zl))))
-    last_rot = -(blinders + 1)
-    for s in range(1, nperm):
-        prev_last = dom.rotate_ext(permz_ext[s - 1], last_rot)
-        terms.append(("perm:cont", FJ.mont_mul(l0_ext, FJ.sub_mod(permz_ext[s], prev_last))))
-    beta_d = cdev(beta)
-    gamma_d = cdev(gamma)
-
-    # identity polynomial X on the extended coset grid
-    g = poly_device.COSET_GEN
-    pts = [0] * dom.n_ext
-    acc = g
-    w = dom.omega_ext
-    for i in range(dom.n_ext):
-        pts[i] = acc
-        acc = acc * w % P
-    x_ext = dom.to_device(pts)
-
-    bx = FJ.mont_mul(beta_d, x_ext)
-    col_idx = 0
-    for s in range(nperm):
-        cols = cs.permutation_columns[s * chunk : (s + 1) * chunk]
-        lhs = dom.rotate_ext(permz_ext[s], 1)
-        rhs = permz_ext[s]
-        for ci, col in enumerate(cols):
-            vals = rot(col.kind, col.index, 0)
-            sig = ext_slice("sigma", col_idx)
-            lhs = FJ.mont_mul(
-                lhs,
-                FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_d, sig)), gamma_d),
-            )
-            dp = cdev(pow(DELTA, col_idx, P))
-            rhs = FJ.mont_mul(
-                rhs, FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(dp, bx)), gamma_d)
-            )
-            col_idx += 1
-        terms.append((f"perm:set{s}", FJ.mont_mul(FJ.sub_mod(lhs, rhs), lactive_ext)))
-
-    # lookup terms
-    theta_d = cdev(theta)
-    for li, lk in enumerate(cs.lookups):
-        z = ext_slice("lookup_z", li)
-        a_p = ext_slice("lookup_a", li)
-        s_p = ext_slice("lookup_s", li)
-        comp_in = None
-        for expr in lk.input_exprs:
-            v = expr.evaluate(dev_ops)
-            comp_in = v if comp_in is None else FJ.add_mod(FJ.mont_mul(comp_in, theta_d), v)
-        comp_tab = None
-        for expr in lk.table_exprs:
-            v = expr.evaluate(dev_ops)
-            comp_tab = v if comp_tab is None else FJ.add_mod(FJ.mont_mul(comp_tab, theta_d), v)
-        terms.append(("lookup:l0z", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z))))
-        terms.append(("lookup:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(z, z), z))))
-        lhs = FJ.mont_mul(
-            dom.rotate_ext(z, 1),
-            FJ.mont_mul(FJ.add_mod(a_p, beta_d), FJ.add_mod(s_p, gamma_d)),
-        )
-        rhs = FJ.mont_mul(
-            z,
-            FJ.mont_mul(
-                FJ.add_mod(comp_in, beta_d), FJ.add_mod(comp_tab, gamma_d)
-            ),
-        )
-        terms.append(("lookup:main", FJ.mont_mul(lactive_ext, FJ.sub_mod(lhs, rhs))))
-        diff = FJ.sub_mod(a_p, s_p)
-        terms.append(("lookup:l0as", FJ.mont_mul(l0_ext, diff)))
-        a_prev = dom.rotate_ext(a_p, -1)
-        terms.append(
-            ("lookup:shuffle", FJ.mont_mul(
-                lactive_ext, FJ.mont_mul(diff, FJ.sub_mod(a_p, a_prev))
-            ))
-        )
+    # The entire phase — batched iNTT, coset NTT, every gate/permutation/
+    # lookup identity, the y-Horner fold, vanishing division, and the iNTT
+    # back to coefficient form — is ONE jitted dispatch. The callable is
+    # cached on the proving key; the Fiat–Shamir challenges enter as traced
+    # Montgomery scalars, so every proof after the first reuses the compiled
+    # executable (and on TPU the phase is a single tunnel round-trip).
+    qfn = _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders)
+    y_m = dom.to_device([y])
 
     if _diag:
+        _, _, diag_terms = qfn.eager(big, theta_m, beta_m, gamma_m, y_m)
         check_rows = [0, 1, 2, 3, 4, 5, 6, 42, 43, 44, 45, 46, 82]
-        for label, term in terms:
+        for label, term in diag_terms:
             tc = dom.from_device(dom.extended_to_coeff(
                 jnp.broadcast_to(term, (16, dom.n_ext)).astype(jnp.uint32)))
             rem = [0] * n
@@ -419,13 +287,14 @@ def prove(
                 print(f'ok  {label}')
         raise SystemExit(0)
 
-    y_d = cdev(y)
-    numer = None
-    for _, term in terms:
-        term = jnp.broadcast_to(term, (16, dom.n_ext)).astype(jnp.uint32)
-        numer = term if numer is None else FJ.add_mod(FJ.mont_mul(numer, y_d), term)
-    h_ext = dom.divide_by_vanishing(numer)
-    h_coeff_dev = dom.extended_to_coeff(h_ext)  # (16, n_ext)
+    big_coeff, h_coeff_dev = qfn(big, theta_m, beta_m, gamma_m, y_m)
+
+    def cdev(v):
+        return dom.const_dev(v % P)
+
+    def coeff_slice(name, idx):
+        return big_coeff[:, offsets[name] + idx]
+
     h_coeffs = dom.from_device(h_coeff_dev)
 
     # strip top zero coefficients into exactly (degree-1) pieces of size n
@@ -435,42 +304,50 @@ def prove(
     for pt in MSM.msm_auto_batch(params.g, h_pieces):
         t.write_point(pt)
     x = t.squeeze_challenge()
+    _mark("phase4 quotient+commit")
 
-    # ---- phase 5: evaluations (batched powers-dot on device) --------------
+    # ---- phase 5: evaluations (ONE batched powers-dot dispatch) -----------
     x_next = x * omega % P
     x_prev = x * F.fr_inv(omega) % P
     x_last = x * F.fr_pow(F.fr_inv(omega), blinders + 1) % P
     x_n = F.fr_pow(x, n)
 
-    eval_cache: dict = {}
-    pw_cache: dict = {}
+    sets = rotation_sets(cs)
+    point_of = {}
+    for rots, _ in sets:
+        for r in rots:
+            point_of.setdefault(r, x * F.fr_pow(omega, r % n) % P)
 
-    def evals_at(point: int) -> list[int]:
-        """All batched columns evaluated at `point` (one device dispatch)."""
-        if point not in eval_cache:
-            pw = PD.powers_dev(point, n)
-            pw_cache[point] = pw
-            eval_cache[point] = dom.scalars_from_device(
-                PD.eval_coeffs_at(big_coeff, pw)
-            )
-        return eval_cache[point]
-
-    def ev(name, idx, point) -> int:
-        return evals_at(point)[offsets[name] + idx]
+    # every distinct opening point, interned in a fixed order
+    pt_idx: dict[int, int] = {}
+    for p in [x, x_next, x_prev, x_last, *point_of.values()]:
+        pt_idx.setdefault(p, len(pt_idx))
+    for col, rot_i in cs.advice_queries + cs.fixed_queries:
+        pt_idx.setdefault(x * F.fr_pow(omega, rot_i % n) % P, len(pt_idx))
+    points = list(pt_idx)
 
     random_dev = dom.to_device(random_poly)  # coefficient form
+    p56 = _phase56_fns(pk, cs, dom, offsets, num_h, sets)
+    evs_dev, rand_dev_evals = p56.eval_all(
+        big_coeff, random_dev, dom.to_device(points)
+    )
+    npts = len(points)
+    allv = dom.from_device(
+        jnp.concatenate([evs_dev.reshape(16, -1), rand_dev_evals], axis=1)
+    )
+    ncols_total = evs_dev.shape[1]
+
+    def ev(name, idx, point) -> int:
+        return allv[(offsets[name] + idx) * npts + pt_idx[point]]
+
+    def random_eval(point) -> int:
+        return allv[ncols_total * npts + pt_idx[point]]
 
     for col, rot_i in cs.advice_queries:
-        point = x * F.fr_pow(omega, rot_i % n) % P
-        t.write_scalar(ev("advice", col, point))
+        t.write_scalar(ev("advice", col, x * F.fr_pow(omega, rot_i % n) % P))
     for col, rot_i in cs.fixed_queries:
-        point = x * F.fr_pow(omega, rot_i % n) % P
-        t.write_scalar(ev("fixed", col, point))
-    t.write_scalar(
-        dom.scalars_from_device(
-            PD.eval_coeffs_at(random_dev, pw_cache.setdefault(x, PD.powers_dev(x, n)))
-        )[0]
-    )
+        t.write_scalar(ev("fixed", col, x * F.fr_pow(omega, rot_i % n) % P))
+    t.write_scalar(random_eval(x))
     for i in range(len(cs.permutation_columns)):
         t.write_scalar(ev("sigma", i, x))
     for s in range(nperm):
@@ -487,62 +364,50 @@ def prove(
 
     zeta = t.squeeze_challenge()
     nu = t.squeeze_challenge()
+    _mark("phase5 evaluations")
 
-    # ---- phase 6: SHPLONK multiopen (device poly combination) -------------
-    # quotient pieces recombined with x^n weights
-    h_pieces_dev = h_coeff_dev[:, : num_h * n].reshape(16, num_h, n)
-    h_combined_dev = None
+    # ---- phase 6: SHPLONK multiopen (two jitted dispatches) ---------------
+    # Host: tiny per-set scalar work (r_j interpolation, evals at the ≤3 set
+    # points). Device dispatch A: f_j combination, r_j subtraction, the
+    # chained (X - z) divisions and the ν-fold → h(X). Dispatch B (after μ):
+    # the final L(X)/(X - μ) → W'.
+    h_combined_host = [0] * n
     xn_pow = 1
     for i in range(num_h):
-        piece = FJ.mont_mul(h_pieces_dev[:, i], cdev(xn_pow))
-        h_combined_dev = piece if h_combined_dev is None else FJ.add_mod(h_combined_dev, piece)
+        for k in range(n):
+            h_combined_host[k] = (
+                h_combined_host[k] + xn_pow * h_coeffs[i * n + k]
+            ) % P
         xn_pow = xn_pow * x_n % P
-
-    def poly_coeff_dev(poly):
-        kind = poly[0]
-        if kind == "quotient":
-            return h_combined_dev
-        if kind == "random":
-            return random_dev
-        return coeff_slice(kind, poly[1])
 
     def poly_eval_at(poly, point) -> int:
         kind = poly[0]
         if kind == "quotient":
-            return dom.scalars_from_device(
-                PD.eval_coeffs_at(h_combined_dev, pw_cache[point])
-            )[0]
+            acc = 0
+            for c in reversed(h_combined_host):
+                acc = (acc * point + c) % P
+            return acc
         if kind == "random":
-            return dom.scalars_from_device(
-                PD.eval_coeffs_at(random_dev, pw_cache[point])
-            )[0]
-        return evals_at(point)[offsets[kind] + poly[1]]
+            return random_eval(point)
+        return ev(kind, poly[1], point)
 
-    sets = rotation_sets(cs)
-    point_of = {}
-    for rots, _ in sets:
-        for r in rots:
-            point_of.setdefault(r, x * F.fr_pow(omega, r % n) % P)
+    max_polys = max(len(polys) for _, polys in sets)
+    zeta_pows = [pow(zeta, i, P) for i in range(max_polys)]
+    nu_pows = [pow(nu, j, P) for j in range(len(sets))]
+    xn_pows = [pow(x_n, i, P) for i in range(num_h)]
 
-    set_devs = []  # (rots, f_dev, f_evals at set points)
+    set_evals = []  # per set: evals of f_j at the set's points
+    r_rows = []     # per set: r_j interpolation coefficients (padded)
+    max_rots = max(len(rots) for rots, _ in sets)
     for rots, polys in sets:
-        f_dev = None
-        zeta_pow = 1
-        evals = [0] * len(rots)
-        for poly in polys:
-            pc = FJ.mont_mul(poly_coeff_dev(poly), cdev(zeta_pow))
-            f_dev = pc if f_dev is None else FJ.add_mod(f_dev, pc)
-            for i, r in enumerate(rots):
-                evals[i] = (
-                    evals[i] + zeta_pow * poly_eval_at(poly, point_of[r])
-                ) % P
-            zeta_pow = zeta_pow * zeta % P
-        set_devs.append((rots, f_dev, evals))
-
-    h_x_dev = None
-    nu_pow = 1
-    for rots, f_dev, evals in set_devs:
         pts_j = [point_of[r] for r in rots]
+        evals = [0] * len(rots)
+        for i, poly in enumerate(polys):
+            for ri, r in enumerate(rots):
+                evals[ri] = (
+                    evals[ri] + zeta_pows[i] * poly_eval_at(poly, point_of[r])
+                ) % P
+        set_evals.append(evals)
         # r_j: Lagrange interpolation through (pts_j, evals) — tiny, host
         r_coeffs = [0] * len(pts_j)
         for i, (pt, ev_i) in enumerate(zip(pts_j, evals)):
@@ -560,20 +425,30 @@ def prove(
             scale = ev_i * F.fr_inv(denom) % P
             for kk, b in enumerate(basis):
                 r_coeffs[kk] = (r_coeffs[kk] + scale * b) % P
-        r_dev = jnp.zeros((16, n), jnp.uint32)
-        r_dev = r_dev.at[:, : len(r_coeffs)].set(dom.to_device(r_coeffs))
-        q = FJ.sub_mod(f_dev, r_dev)
-        for pt in pts_j:
-            q = PD.divide_linear_dev(q, pt)
-        q = FJ.mont_mul(q, cdev(nu_pow))
-        h_x_dev = q if h_x_dev is None else FJ.add_mod(h_x_dev, q)
-        nu_pow = nu_pow * nu % P
+        r_rows.append(r_coeffs + [0] * (max_rots - len(r_coeffs)))
 
+    ipoints = [pow(p, -1, P) for p in points]
+    set_pt_idx = tuple(
+        tuple(pt_idx[point_of[r]] for r in rots) for rots, _ in sets
+    )
+    h_x_dev, f_stack = p56.open_w(
+        big_coeff,
+        h_coeff_dev,
+        random_dev,
+        dom.to_device(xn_pows),
+        dom.to_device(zeta_pows),
+        dom.to_device(nu_pows),
+        dom.cols_to_device(r_rows),
+        dom.to_device(points),
+        dom.to_device(ipoints),
+        set_pt_idx,
+    )
     t.write_point(MSM.msm_auto(params.g, dom.from_device(h_x_dev)))
     mu = t.squeeze_challenge()
+    _mark("phase6a shplonk W")
 
     diffs = []
-    for rots, _, _ in set_devs:
+    for rots, _ in sets:
         d = 1
         for r, pt in point_of.items():
             if r not in rots:
@@ -581,34 +456,417 @@ def prove(
         diffs.append(d)
     diff0_inv = F.fr_inv(diffs[0])
     z0_mu = 1
-    for r in set_devs[0][0]:
+    for r in sets[0][0]:
         z0_mu = z0_mu * ((mu - point_of[r]) % P) % P
 
-    l_dev = None
     total_rmu = 0
-    nu_pow = 1
-    for j, (rots, f_dev, evals) in enumerate(set_devs):
+    coeffs = []
+    for j, (rots, _) in enumerate(sets):
         norm = diffs[j] * diff0_inv % P
         pts_j = [point_of[r] for r in rots]
         # r_j(mu) via barycentric through the set points (host, ≤3 points)
         r_mu = 0
-        for i, (pt, ev_i) in enumerate(zip(pts_j, evals)):
+        for i, (pt, ev_i) in enumerate(zip(pts_j, set_evals[j])):
             li = 1
             for jj, other in enumerate(pts_j):
                 if jj != i:
                     li = li * ((mu - other) * F.fr_inv((pt - other) % P) % P) % P
             r_mu = (r_mu + ev_i * li) % P
-        coeff = nu_pow * norm % P
+        coeff = nu_pows[j] * norm % P
         total_rmu = (total_rmu + coeff * r_mu) % P
-        fc = FJ.mont_mul(f_dev, cdev(coeff))
-        l_dev = fc if l_dev is None else FJ.add_mod(l_dev, fc)
-        nu_pow = nu_pow * nu % P
-    l_dev = FJ.sub_mod(l_dev, FJ.mont_mul(h_x_dev, cdev(z0_mu)))
-    e0 = jnp.zeros((16, n), jnp.uint32)
-    e0 = e0.at[:, :1].set(dom.const_dev(total_rmu).reshape(16, 1))
-    l_dev = FJ.sub_mod(l_dev, e0)
+        coeffs.append(coeff)
 
-    w_prime_dev = PD.divide_linear_dev(l_dev, mu)
+    w_prime_dev = p56.open_wprime(
+        f_stack,
+        h_x_dev,
+        dom.to_device(coeffs),
+        dom.to_device([z0_mu]),
+        dom.to_device([total_rmu]),
+        dom.to_device([mu]),
+        dom.to_device([pow(mu, -1, P)]),
+    )
     t.write_point(MSM.msm_auto(params.g, dom.from_device(w_prime_dev)))
+    _mark("phase6b shplonk W'")
 
     return t.finalize()
+
+
+class _Phase23:
+    def __init__(self, compress, grand, grand_nolk):
+        self.compress = compress
+        self.grand = grand
+        self.grand_nolk = grand_nolk
+
+
+class _Phase56:
+    def __init__(self, eval_all, open_w, open_wprime):
+        self.eval_all = eval_all
+        self.open_w = open_w
+        self.open_wprime = open_wprime
+
+
+def _phase56_fns(pk, cs, dom, offsets, num_h, sets):
+    """Jitted phase-5/6 evaluators, cached on the proving key.
+
+    ``eval_all`` evaluates every committed column (and the random poly) at
+    every distinct opening point in one dispatch. ``open_w`` performs the
+    whole SHPLONK f_j/ν-fold with the chained linear divisions → h(X);
+    ``open_wprime`` builds L(X)/(X-μ) → W'. The per-set point indices are a
+    static argument (they only change if two opening points collide)."""
+    cached = pk.__dict__.get("_phase56_cache")
+    if cached is not None and cached[0] is dom:
+        return cached[1]
+
+    import functools
+
+    import jax
+
+    n = dom.n
+
+    @jax.jit
+    def eval_all(big_coeff, random_dev, pts_m):
+        npts = pts_m.shape[1]
+        pws = jnp.stack(
+            [poly_device._powers_dev(pts_m[:, i : i + 1], n) for i in range(npts)],
+            axis=1,
+        )  # (16, npts, n)
+        evs = poly_device.tree_sum_mod(
+            FJ.mont_mul(big_coeff[:, :, None, :], pws[:, None, :, :])
+        )[..., 0]  # (16, B, npts)
+        rnd = poly_device.tree_sum_mod(
+            FJ.mont_mul(random_dev[:, None, :], pws)
+        )[..., 0]  # (16, npts)
+        return evs, rnd
+
+    @functools.partial(jax.jit, static_argnums=(9,))
+    def open_w(big_coeff, h_coeff, random_dev, xn_pows, zeta_pows, nu_pows,
+               r_tensor, pts_m, ipts_m, set_pt_idx):
+        h_pieces = h_coeff[:, : num_h * n].reshape(16, num_h, n)
+        h_combined = None
+        for i in range(num_h):
+            piece = FJ.mont_mul(h_pieces[:, i], xn_pows[:, i : i + 1])
+            h_combined = piece if h_combined is None else FJ.add_mod(h_combined, piece)
+
+        def poly_coeff(poly):
+            kind = poly[0]
+            if kind == "quotient":
+                return h_combined
+            if kind == "random":
+                return random_dev
+            return big_coeff[:, offsets[kind] + poly[1]]
+
+        pw_cache: dict = {}
+
+        def pws(idx):
+            if idx not in pw_cache:
+                pw_cache[idx] = (
+                    poly_device._powers_dev(pts_m[:, idx : idx + 1], n),
+                    poly_device._powers_dev(ipts_m[:, idx : idx + 1], n),
+                )
+            return pw_cache[idx]
+
+        h_x = None
+        f_list = []
+        max_rots = r_tensor.shape[2]
+        pad = jnp.zeros((16, n - max_rots), jnp.uint32)
+        for j, (rots, polys) in enumerate(sets):
+            f = None
+            for i, poly in enumerate(polys):
+                pc = FJ.mont_mul(poly_coeff(poly), zeta_pows[:, i : i + 1])
+                f = pc if f is None else FJ.add_mod(f, pc)
+            f_list.append(f)
+            r_pad = jnp.concatenate([r_tensor[:, j], pad], axis=1)
+            q = FJ.sub_mod(f, r_pad)
+            for idx in set_pt_idx[j]:
+                pw, ipw = pws(idx)
+                q = poly_device._divide_linear_dev(q, pw, ipw, n)
+            q = FJ.mont_mul(q, nu_pows[:, j : j + 1])
+            h_x = q if h_x is None else FJ.add_mod(h_x, q)
+        return h_x, jnp.stack(f_list, axis=1)
+
+    @jax.jit
+    def open_wprime(f_stack, h_x, coeffs_m, z0mu_m, totalrmu_m, mu_m, imu_m):
+        l_dev = None
+        for j in range(len(sets)):
+            fc = FJ.mont_mul(f_stack[:, j], coeffs_m[:, j : j + 1])
+            l_dev = fc if l_dev is None else FJ.add_mod(l_dev, fc)
+        l_dev = FJ.sub_mod(l_dev, FJ.mont_mul(h_x, z0mu_m))
+        l0 = FJ.sub_mod(l_dev[:, :1], totalrmu_m)
+        l_dev = jnp.concatenate([l0, l_dev[:, 1:]], axis=1)
+        pw = poly_device._powers_dev(mu_m, n)
+        ipw = poly_device._powers_dev(imu_m, n)
+        return poly_device._divide_linear_dev(l_dev, pw, ipw, n)
+
+    p56 = _Phase56(eval_all, open_w, open_wprime)
+    pk._phase56_cache = (dom, p56)
+    return p56
+
+
+def _phase23_fns(pk, cs, dom, usable, nperm, chunk):
+    """Jitted phase-2/3 evaluators, cached on the proving key.
+
+    ``compress(advice, fixed, inst, θ) -> (a_stack, s_stack)`` evaluates and
+    θ-compresses every lookup's input/table expressions in one dispatch.
+    ``grand(...) -> (16, nperm+nlk, n)`` computes every permutation-set and
+    lookup grand product in one dispatch (chained set starts stay on
+    device).
+    """
+    cached = pk.__dict__.get("_phase23_cache")
+    if cached is not None and cached[0] is dom:
+        return cached[1]
+
+    import jax
+
+    n = dom.n
+
+    def _base_ops(advice_dev, fixed_dev, inst_dev):
+        def base_col(kind, idx):
+            return {"advice": advice_dev, "fixed": fixed_dev,
+                    "instance": inst_dev}[kind][:, idx]
+
+        return {
+            "constant": lambda v: dom.const_dev(v % P),
+            "fixed": lambda q, c, r: dom.rotate_base(base_col("fixed", c), r),
+            "advice": lambda q, c, r: dom.rotate_base(base_col("advice", c), r),
+            "instance": lambda q, c, r: dom.rotate_base(base_col("instance", c), r),
+            "negated": lambda a: FJ.neg_mod(a),
+            "sum": lambda a, b: FJ.add_mod(a, b),
+            "product": lambda a, b: FJ.mont_mul(a, b),
+            "scaled": lambda a, k: FJ.mont_mul(a, dom.const_dev(k % P)),
+            "selector": None,
+        }, base_col
+
+    @jax.jit
+    def compress(advice_dev, fixed_dev, inst_dev, theta_m):
+        base_ops, _ = _base_ops(advice_dev, fixed_dev, inst_dev)
+
+        def one_lookup(exprs):
+            acc = None
+            for expr in exprs:
+                v = jnp.broadcast_to(expr.evaluate(base_ops), (16, n)).astype(jnp.uint32)
+                acc = v if acc is None else FJ.add_mod(FJ.mont_mul(acc, theta_m), v)
+            return acc
+
+        a_stack = jnp.stack([one_lookup(lk.input_exprs) for lk in cs.lookups], axis=1)
+        s_stack = jnp.stack([one_lookup(lk.table_exprs) for lk in cs.lookups], axis=1)
+        return a_stack, s_stack
+
+    def _grand_core(advice_dev, fixed_dev, inst_dev, sigma_dev,
+                    beta_m, gamma_m, lk_tensors):
+        _, base_col = _base_ops(advice_dev, fixed_dev, inst_dev)
+        one_t = jnp.broadcast_to(dom.const_dev(1), (16, n)).astype(jnp.uint32)
+        active_mask = jnp.arange(n) < usable
+        omega_pows = dom.omega_pows
+
+        def masked_ratio(numer, denom):
+            numer = jnp.where(active_mask, numer, one_t)
+            denom = jnp.where(active_mask, denom, one_t)
+            return FJ.mont_mul(numer, poly_device.batch_inv_dev(denom))
+
+        def running_product(ratio, start_t):
+            pre = poly_device.mont_cumprod(ratio)
+            z_dev = jnp.concatenate([one_t[:, :1], pre[:, :-1]], axis=-1)
+            return FJ.mont_mul(z_dev, start_t)
+
+        zs = []
+        last_z = dom.const_dev(1)  # sets chain: z_s(0) = z_{s-1}(ω^usable)
+        col_idx = 0
+        for s in range(nperm):
+            cols = cs.permutation_columns[s * chunk : (s + 1) * chunk]
+            numer = None
+            denom = None
+            for col in cols:
+                vals = base_col(col.kind, col.index)
+                sig = sigma_dev[:, col_idx]
+                bd = FJ.mont_mul(beta_m, dom.const_dev(pow(DELTA, col_idx, P)))
+                nt = FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(bd, omega_pows)), gamma_m)
+                dt = FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_m, sig)), gamma_m)
+                numer = nt if numer is None else FJ.mont_mul(numer, nt)
+                denom = dt if denom is None else FJ.mont_mul(denom, dt)
+                col_idx += 1
+            z = running_product(masked_ratio(numer, denom), last_z)
+            last_z = z[:, usable : usable + 1]
+            zs.append(z)
+
+        if lk_tensors is not None:
+            a_stack, s_stack, ap_stack, sp_stack = lk_tensors
+            for li in range(len(cs.lookups)):
+                numer = FJ.mont_mul(
+                    FJ.add_mod(a_stack[:, li], beta_m),
+                    FJ.add_mod(s_stack[:, li], gamma_m),
+                )
+                denom = FJ.mont_mul(
+                    FJ.add_mod(ap_stack[:, li], beta_m),
+                    FJ.add_mod(sp_stack[:, li], gamma_m),
+                )
+                zs.append(running_product(masked_ratio(numer, denom), dom.const_dev(1)))
+        return jnp.stack(zs, axis=1)  # (16, nperm [+ nlk], n)
+
+    @jax.jit
+    def grand(advice_dev, fixed_dev, inst_dev, sigma_dev,
+              a_stack, s_stack, ap_stack, sp_stack, beta_m, gamma_m):
+        return _grand_core(advice_dev, fixed_dev, inst_dev, sigma_dev,
+                           beta_m, gamma_m, (a_stack, s_stack, ap_stack, sp_stack))
+
+    @jax.jit
+    def grand_nolk(advice_dev, fixed_dev, inst_dev, sigma_dev, beta_m, gamma_m):
+        return _grand_core(advice_dev, fixed_dev, inst_dev, sigma_dev,
+                           beta_m, gamma_m, None)
+
+    ph = _Phase23(compress, grand, grand_nolk)
+    pk._phase23_cache = (dom, ph)
+    return ph
+
+
+def _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders):
+    """Quotient-phase evaluator: traces the circuit's full constraint system
+    (gates, permutation argument, lookup argument), the y-Horner fold and
+    the vanishing division into one jitted device function.
+
+    Cached on the proving key; rebuilt only if the (pk, domain) pair
+    changes. The returned callable maps
+    ``(big, θ, β, γ, y) -> (big_coeff, h_coeff)``; ``.eager`` runs the same
+    trace un-jitted and additionally returns the labelled per-identity
+    tensors for the MockProver-style diagnostics path.
+    """
+    cached = pk.__dict__.get("_quotient_fn_cache")
+    if cached is not None and cached[0] is dom:
+        return cached[1]
+
+    import jax
+
+    last_rot = -(blinders + 1)
+
+    def build(big, theta_m, beta_m, gamma_m, y_m):
+        big_coeff = dom.lagrange_to_coeff(big)
+        big_ext = dom.coeff_to_extended(big_coeff)
+
+        def ext_slice(name, idx):
+            return big_ext[:, offsets[name] + idx]
+
+        one = dom.const_dev(1)
+
+        def cdev(v):
+            return dom.const_dev(v % P)
+
+        rot_cache: dict = {}
+
+        def rot(kind, idx, r):
+            key = (kind, idx, r)
+            if key not in rot_cache:
+                base = ext_slice(kind, idx)
+                rot_cache[key] = base if r == 0 else dom.rotate_ext(base, r)
+            return rot_cache[key]
+
+        dev_ops = {
+            "constant": lambda v: cdev(v),
+            "fixed": lambda q, c, r: rot("fixed", c, r),
+            "advice": lambda q, c, r: rot("advice", c, r),
+            "instance": lambda q, c, r: rot("instance", c, r),
+            "negated": lambda a: FJ.neg_mod(a),
+            "sum": lambda a, b: FJ.add_mod(a, b),
+            "product": lambda a, b: FJ.mont_mul(a, b),
+            "scaled": lambda a, k: FJ.mont_mul(a, cdev(k)),
+            "selector": None,
+        }
+
+        l0_ext = ext_slice("special", 0)
+        llast_ext = ext_slice("special", 1)
+        lactive_ext = ext_slice("special", 2)
+        permz_ext = [ext_slice("perm_z", s) for s in range(nperm)]
+
+        terms = []
+        for gate in cs.gates:
+            for gi, polyexpr in enumerate(gate.polys):
+                terms.append((f"gate:{gate.name}:{gi}", polyexpr.evaluate(dev_ops)))
+
+        # permutation terms
+        z0 = permz_ext[0]
+        terms.append(("perm:l0", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z0))))
+        zl = permz_ext[-1]
+        terms.append(
+            ("perm:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(zl, zl), zl)))
+        )
+        for s in range(1, nperm):
+            prev_last = dom.rotate_ext(permz_ext[s - 1], last_rot)
+            terms.append(
+                ("perm:cont", FJ.mont_mul(l0_ext, FJ.sub_mod(permz_ext[s], prev_last)))
+            )
+
+        bx = FJ.mont_mul(beta_m, dom.x_ext)
+        col_idx = 0
+        for s in range(nperm):
+            cols = cs.permutation_columns[s * chunk : (s + 1) * chunk]
+            lhs = dom.rotate_ext(permz_ext[s], 1)
+            rhs = permz_ext[s]
+            for col in cols:
+                vals = rot(col.kind, col.index, 0)
+                sig = ext_slice("sigma", col_idx)
+                lhs = FJ.mont_mul(
+                    lhs,
+                    FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_m, sig)), gamma_m),
+                )
+                dp = cdev(pow(DELTA, col_idx, P))
+                rhs = FJ.mont_mul(
+                    rhs, FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(dp, bx)), gamma_m)
+                )
+                col_idx += 1
+            terms.append((f"perm:set{s}", FJ.mont_mul(FJ.sub_mod(lhs, rhs), lactive_ext)))
+
+        # lookup terms
+        for li, lk in enumerate(cs.lookups):
+            z = ext_slice("lookup_z", li)
+            a_p = ext_slice("lookup_a", li)
+            s_p = ext_slice("lookup_s", li)
+            comp_in = None
+            for expr in lk.input_exprs:
+                v = expr.evaluate(dev_ops)
+                comp_in = (
+                    v if comp_in is None
+                    else FJ.add_mod(FJ.mont_mul(comp_in, theta_m), v)
+                )
+            comp_tab = None
+            for expr in lk.table_exprs:
+                v = expr.evaluate(dev_ops)
+                comp_tab = (
+                    v if comp_tab is None
+                    else FJ.add_mod(FJ.mont_mul(comp_tab, theta_m), v)
+                )
+            terms.append(("lookup:l0z", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z))))
+            terms.append(
+                ("lookup:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(z, z), z)))
+            )
+            lhs = FJ.mont_mul(
+                dom.rotate_ext(z, 1),
+                FJ.mont_mul(FJ.add_mod(a_p, beta_m), FJ.add_mod(s_p, gamma_m)),
+            )
+            rhs = FJ.mont_mul(
+                z,
+                FJ.mont_mul(FJ.add_mod(comp_in, beta_m), FJ.add_mod(comp_tab, gamma_m)),
+            )
+            terms.append(("lookup:main", FJ.mont_mul(lactive_ext, FJ.sub_mod(lhs, rhs))))
+            diff = FJ.sub_mod(a_p, s_p)
+            terms.append(("lookup:l0as", FJ.mont_mul(l0_ext, diff)))
+            a_prev = dom.rotate_ext(a_p, -1)
+            terms.append(
+                ("lookup:shuffle", FJ.mont_mul(
+                    lactive_ext, FJ.mont_mul(diff, FJ.sub_mod(a_p, a_prev))
+                ))
+            )
+
+        numer = None
+        for _, term in terms:
+            term = jnp.broadcast_to(term, (16, dom.n_ext)).astype(jnp.uint32)
+            numer = term if numer is None else FJ.add_mod(FJ.mont_mul(numer, y_m), term)
+        h_ext = dom.divide_by_vanishing(numer)
+        h_coeff = dom.extended_to_coeff(h_ext)  # (16, n_ext)
+        return big_coeff, h_coeff, terms
+
+    jitted = jax.jit(lambda *a: build(*a)[:2])
+
+    def call(*a):
+        return jitted(*a)
+
+    call.eager = build
+    pk._quotient_fn_cache = (dom, call)
+    return call

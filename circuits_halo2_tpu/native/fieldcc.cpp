@@ -21,6 +21,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <thread>
 
 typedef uint64_t u64;
 typedef unsigned __int128 u128;
@@ -396,6 +397,36 @@ static void g1_madd(G1& r, const G1& p, const G1Aff& q) {
 // out: 64-byte canonical affine.
 // ---------------------------------------------------------------------------
 
+// one window's bucket accumulation + reduction → S_w = Σ_k k·B_k
+static void msm_window(const std::vector<G1Aff>& pts, const u8* scalars,
+                       size_t n, int c, int w, G1& out_sum) {
+    size_t nbuckets = ((size_t)1 << c) - 1;
+    std::vector<G1> buckets(nbuckets);
+    for (auto& b : buckets) g1_set_inf(b);
+    int bit0 = w * c;
+    for (size_t i = 0; i < n; ++i) {
+        if (pts[i].inf) continue;
+        // extract c bits starting at bit0 from scalar i
+        u64 v[4];
+        load4(v, scalars + i * 32);
+        int word = bit0 / 64, sh = bit0 % 64;
+        u64 frag = v[word] >> sh;
+        if (sh && word < 3) frag |= v[word + 1] << (64 - sh);
+        frag &= nbuckets;  // (1<<c)-1
+        if (!frag) continue;
+        g1_madd(buckets[frag - 1], buckets[frag - 1], pts[i]);
+    }
+    // bucket reduction: sum_{k} k * bucket_k via running suffix sums
+    G1 run, sum;
+    g1_set_inf(run);
+    g1_set_inf(sum);
+    for (size_t k = nbuckets; k-- > 0;) {
+        g1_add(run, run, buckets[k]);
+        g1_add(sum, sum, run);
+    }
+    out_sum = sum;
+}
+
 extern "C" void g1_msm(const u8* points, const u8* scalars, size_t n, u8* out) {
     if (!n) { memset(out, 0, 64); return; }
     int c = 3;
@@ -418,35 +449,32 @@ extern "C" void g1_msm(const u8* points, const u8* scalars, size_t n, u8* out) {
             FqM::mul(pts[i].y, y, FQ_R2);
         }
     }
-    size_t nbuckets = ((size_t)1 << c) - 1;
-    std::vector<G1> buckets(nbuckets);
+    // windows are independent: stripe them across hardware threads, then
+    // Horner-fold  acc = ((S_top·2^c + S_top-1)·2^c + …)  sequentially
+    std::vector<G1> sums(windows);
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads == 0) nthreads = 1;
+    if ((size_t)windows < (size_t)nthreads) nthreads = windows;
+    if (n < 512) nthreads = 1;  // thread spawn not worth it for small MSMs
+    if (nthreads <= 1) {
+        for (int w = 0; w < windows; ++w)
+            msm_window(pts, scalars, n, c, w, sums[w]);
+    } else {
+        std::vector<std::thread> threads;
+        threads.reserve(nthreads);
+        for (unsigned t = 0; t < nthreads; ++t) {
+            threads.emplace_back([&, t]() {
+                for (int w = t; w < windows; w += nthreads)
+                    msm_window(pts, scalars, n, c, w, sums[w]);
+            });
+        }
+        for (auto& th : threads) th.join();
+    }
     G1 acc;
     g1_set_inf(acc);
     for (int w = windows - 1; w >= 0; --w) {
         for (int d = 0; d < c && !g1_is_inf(acc); ++d) g1_double(acc, acc);
-        for (auto& b : buckets) g1_set_inf(b);
-        int bit0 = w * c;
-        for (size_t i = 0; i < n; ++i) {
-            if (pts[i].inf) continue;
-            // extract c bits starting at bit0 from scalar i
-            u64 v[4];
-            load4(v, scalars + i * 32);
-            int word = bit0 / 64, sh = bit0 % 64;
-            u64 frag = v[word] >> sh;
-            if (sh && word < 3) frag |= v[word + 1] << (64 - sh);
-            frag &= nbuckets;  // (1<<c)-1
-            if (!frag) continue;
-            g1_madd(buckets[frag - 1], buckets[frag - 1], pts[i]);
-        }
-        // bucket reduction: sum_{k} k * bucket_k via running suffix sums
-        G1 run, sum;
-        g1_set_inf(run);
-        g1_set_inf(sum);
-        for (size_t k = nbuckets; k-- > 0;) {
-            g1_add(run, run, buckets[k]);
-            g1_add(sum, sum, run);
-        }
-        g1_add(acc, acc, sum);
+        g1_add(acc, acc, sums[w]);
     }
     g1_store_affine(out, acc);
 }
@@ -679,4 +707,4 @@ extern "C" int poseidon_hash_batch(const u8* msgs, size_t n, size_t L, u8* out) 
     return 0;
 }
 
-extern "C" int fieldcc_abi_version() { return 3; }
+extern "C" int fieldcc_abi_version() { return 4; }

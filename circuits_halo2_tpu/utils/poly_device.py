@@ -292,5 +292,24 @@ class Domain:
     # -- constants ----------------------------------------------------------
 
     @functools.lru_cache(maxsize=None)
-    def const_dev(self, value: int) -> jax.Array:
-        return jnp.asarray(FJ.FR.const(value))
+    def const_dev(self, value: int) -> np.ndarray:
+        """(16, 1) Montgomery constant as a host numpy array — numpy (not
+        jnp) so the cached value is safe to reuse across jit traces (a
+        cached DynamicJaxprTracer would leak between traces)."""
+        return FJ.FR.const(value)
+
+    @functools.cached_property
+    def x_ext(self) -> jax.Array:
+        """Identity polynomial X on the coset extended grid: (16, n_ext)
+        Montgomery tensor with lane i = g·ω_ext^i."""
+        pw = powers_dev(self.omega_ext, self.n_ext)
+        g = jnp.asarray(FJ.FR.const(COSET_GEN))
+        return FJ.mont_mul(pw, g)
+
+
+@functools.lru_cache(maxsize=None)
+def domain(k: int, degree: int) -> Domain:
+    """Process-wide Domain cache: the coset/vanishing constant tables and
+    every jitted-callable captured device constant are built once per
+    (k, degree) shape, so repeated proofs skip the setup entirely."""
+    return Domain(k, degree)
