@@ -118,16 +118,17 @@ def prove(
     instance_vals = [list(col) for col in asn.instance]
     fixed = vk.fixed_values
 
-    for pt in MSM.msm_auto_batch(params.g_lagrange, advice):
-        t.write_point(pt)
-    theta = t.squeeze_challenge()
-    _mark("phase1 synth+advice commits")
-
-    # device Lagrange tensors (base domain) for every committed column
+    # device Lagrange tensors (base domain) for every committed column;
+    # commitments run straight off the device tensors (no host digit prep)
     advice_dev = dom.cols_to_device(advice)
     fixed_dev = dom.cols_to_device(fixed)
     inst_dev = dom.cols_to_device(instance_vals)
     sigma_dev = dom.cols_to_device(vk.sigma_values)
+
+    for pt in MSM.msm_commit_dev(params.g_lagrange, advice_dev):
+        t.write_point(pt)
+    theta = t.squeeze_challenge()
+    _mark("phase1 synth+advice commits")
 
     # ---- phase 2: permuted lookup columns ---------------------------------
     # All lookup input/table compressions run as ONE jitted dispatch; the
@@ -173,9 +174,18 @@ def prove(
         lookups.append(
             {"a_dev": a_dev, "s_dev": s_dev, "a_perm": a_perm, "s_perm": s_perm}
         )
-    lk_rows = [c for lk in lookups for c in (lk["a_perm"], lk["s_perm"])]
-    if lk_rows:
-        for pt in MSM.msm_auto_batch(params.g_lagrange, lk_rows):
+    if lookups:
+        ap_stack = dom.cols_to_device([lk["a_perm"] for lk in lookups])
+        sp_stack = dom.cols_to_device([lk["s_perm"] for lk in lookups])
+        for li, lk in enumerate(lookups):
+            lk["ap_dev"] = ap_stack[:, li]
+            lk["sp_dev"] = sp_stack[:, li]
+        inter = jnp.stack(
+            [c for li in range(len(lookups))
+             for c in (ap_stack[:, li], sp_stack[:, li])],
+            axis=1,
+        )
+        for pt in MSM.msm_commit_dev(params.g_lagrange, inter):
             t.write_point(pt)
 
     beta = t.squeeze_challenge()
@@ -189,11 +199,6 @@ def prove(
     beta_m = dom.to_device([beta])
     gamma_m = dom.to_device([gamma])
     if lookups:
-        ap_stack = dom.cols_to_device([lk["a_perm"] for lk in lookups])
-        sp_stack = dom.cols_to_device([lk["s_perm"] for lk in lookups])
-        for li, lk in enumerate(lookups):
-            lk["ap_dev"] = ap_stack[:, li]
-            lk["sp_dev"] = sp_stack[:, li]
         z_stack = ph.grand(
             advice_dev, fixed_dev, inst_dev, sigma_dev,
             a_stack, s_stack, ap_stack, sp_stack, beta_m, gamma_m,
@@ -202,25 +207,22 @@ def prove(
         z_stack = ph.grand_nolk(
             advice_dev, fixed_dev, inst_dev, sigma_dev, beta_m, gamma_m
         )
-    all_z = dom.from_device(z_stack.reshape(16, -1))
-    perm_zs = []
-    for s in range(nperm):
-        z = all_z[s * n : (s + 1) * n]
-        for row in range(usable + 1, n):
-            z[row] = rng.next_field()
-        perm_zs.append(z)
-    lookup_zs = []
-    for li in range(len(lookups)):
-        z = all_z[(nperm + li) * n : (nperm + li + 1) * n]
-        for row in range(usable + 1, n):
-            z[row] = rng.next_field()
-        lookup_zs.append(z)
+    # blinding rows (usable+1 .. n-1) splice in on device; the z columns
+    # never round-trip to the host (same rng draw order as the reference)
+    nz = nperm + len(lookups)
+    blind_cols = [
+        [rng.next_field() for _ in range(blinders)] for _ in range(nz)
+    ]
+    z_stack = jnp.concatenate(
+        [z_stack[:, :, : usable + 1], dom.cols_to_device(blind_cols)], axis=-1
+    )
 
-    for pt in MSM.msm_auto_batch(params.g_lagrange, perm_zs + lookup_zs):
+    for pt in MSM.msm_commit_dev(params.g_lagrange, z_stack):
         t.write_point(pt)
 
     random_poly = [rng.next_field() for _ in range(n)]
-    t.write_point(MSM.msm_auto(params.g, random_poly))
+    random_dev = dom.to_device(random_poly)  # coefficient form
+    t.write_point(MSM.msm_commit_dev(params.g, random_dev[:, None, :])[0])
     y = t.squeeze_challenge()
     _mark("phase3 grand products+commits")
 
@@ -236,10 +238,10 @@ def prove(
 
     group_tensors = [advice_dev, fixed_dev, inst_dev, sigma_dev]
     group_names = ["advice", "fixed", "instance", "sigma"]
-    group_tensors.append(dom.cols_to_device(perm_zs))
+    group_tensors.append(z_stack[:, :nperm])
     group_names.append("perm_z")
     if lookups:
-        group_tensors.append(dom.cols_to_device(lookup_zs))
+        group_tensors.append(z_stack[:, nperm:])
         group_names.append("lookup_z")
         group_tensors.append(
             jnp.stack([lk["ap_dev"] for lk in lookups], axis=1)
@@ -295,15 +297,16 @@ def prove(
     def coeff_slice(name, idx):
         return big_coeff[:, offsets[name] + idx]
 
-    h_coeffs = dom.from_device(h_coeff_dev)
-
-    # strip top zero coefficients into exactly (degree-1) pieces of size n
+    # commit the (degree-1) quotient pieces straight from the device tensor
     num_h = cs.degree() - 1
-    assert all(c == 0 for c in h_coeffs[num_h * n :]), "quotient degree overflow"
-    h_pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(num_h)]
-    for pt in MSM.msm_auto_batch(params.g, h_pieces):
+    for pt in MSM.msm_commit_dev(
+        params.g, h_coeff_dev[:, : num_h * n].reshape(16, num_h, n)
+    ):
         t.write_point(pt)
     x = t.squeeze_challenge()
+    # host copy of the quotient coefficients (phase-6 r_j/Horner scalars)
+    h_coeffs = dom.from_device(h_coeff_dev)
+    assert all(c == 0 for c in h_coeffs[num_h * n :]), "quotient degree overflow"
     _mark("phase4 quotient+commit")
 
     # ---- phase 5: evaluations (ONE batched powers-dot dispatch) -----------
@@ -326,7 +329,6 @@ def prove(
         pt_idx.setdefault(x * F.fr_pow(omega, rot_i % n) % P, len(pt_idx))
     points = list(pt_idx)
 
-    random_dev = dom.to_device(random_poly)  # coefficient form
     p56 = _phase56_fns(pk, cs, dom, offsets, num_h, sets)
     evs_dev, rand_dev_evals = p56.eval_all(
         big_coeff, random_dev, dom.to_device(points)
@@ -443,7 +445,7 @@ def prove(
         dom.to_device(ipoints),
         set_pt_idx,
     )
-    t.write_point(MSM.msm_auto(params.g, dom.from_device(h_x_dev)))
+    t.write_point(MSM.msm_commit_dev(params.g, h_x_dev[:, None, :])[0])
     mu = t.squeeze_challenge()
     _mark("phase6a shplonk W")
 
@@ -485,7 +487,7 @@ def prove(
         dom.to_device([mu]),
         dom.to_device([pow(mu, -1, P)]),
     )
-    t.write_point(MSM.msm_auto(params.g, dom.from_device(w_prime_dev)))
+    t.write_point(MSM.msm_commit_dev(params.g, w_prime_dev[:, None, :])[0])
     _mark("phase6b shplonk W'")
 
     return t.finalize()

@@ -538,6 +538,63 @@ def msm_pippenger_device(points, scalar_rows):
     ]
 
 
+@functools.partial(jax.jit, static_argnames=("n", "nmsm"))
+def _commit_dev(xs, ys, valid, scal_mont, n: int, nmsm: int):
+    """Device-resident commit: (16, nmsm, m) Montgomery scalar columns →
+    Jacobian accumulators, all inside ONE dispatch (de-Montgomery, byte
+    digit extraction, Pippenger). m ≤ n; missing lanes are zero digits."""
+    one_plain = jnp.asarray(FJ.FR.const(1, mont=False)).reshape(16, 1, 1)
+    canon = FJ.mont_mul(scal_mont, one_plain)       # 16-bit limbs < p
+    lo = canon & 0xFF
+    hi = canon >> 8
+    # limb-major interleave: [l0_lo, l0_hi, l1_lo, …] = LE bytes = window
+    # digits in the _scalars_to_digits order
+    digits = jnp.stack([lo, hi], axis=1).reshape((NWIN,) + canon.shape[1:])
+    digits = jnp.moveaxis(digits, 0, 1).astype(jnp.int32)  # (nmsm, NWIN, m)
+    m = digits.shape[-1]
+    if m < n:
+        pad = jnp.zeros(digits.shape[:-1] + (n - m,), jnp.int32)
+        digits = jnp.concatenate([digits, pad], axis=-1)
+    return _pippenger_core(xs, ys, valid, digits)
+
+
+def msm_commit_dev(points, scal_mont):
+    """Batched MSM of device-resident Montgomery scalar columns.
+
+    points: host affine base list (cached on device after the first call);
+    scal_mont: (16, B, m) Montgomery limb tensor (the prover's native
+    column format — no host round-trip). Returns B host affine points.
+
+    On non-accelerator backends falls back to pulling the columns once and
+    running the host (native C++) Pippenger.
+    """
+    b = int(scal_mont.shape[1])
+    if not (_device_enabled() and len(points) >= DEVICE_THRESHOLD):
+        from ..native import available as _native_ok, limbs16_to_ints
+
+        flat = np.asarray(scal_mont).reshape(16, -1)
+        if _native_ok():
+            vals = limbs16_to_ints(flat, from_mont=True)
+        else:
+            r_inv = pow(1 << 256, -1, F.FR_MOD)
+            vals = [v * r_inv % F.FR_MOD for v in FJ.limbs_to_ints(flat)]
+        m = int(scal_mont.shape[2])
+        rows = [vals[i * m : (i + 1) * m] for i in range(b)]
+        return [_msm_host(points[: len(row)], row) for row in rows]
+    xs, ys, valid = precompute_bases(points)
+    n = int(xs.shape[1])
+    nmsm = 1 << (max(1, b) - 1).bit_length()
+    if nmsm > b:
+        pad = jnp.zeros((16, nmsm - b) + scal_mont.shape[2:], jnp.uint32)
+        scal_mont = jnp.concatenate([scal_mont, pad], axis=1)
+    acc = _commit_dev(xs, ys, valid, scal_mont, n, nmsm)
+    ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
+    return [
+        jac_to_affine_host((ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1]))
+        for i in range(b)
+    ]
+
+
 def _device_enabled() -> bool:
     mode = os.environ.get("CIRCUITS_MSM_DEVICE", "auto")
     if mode == "1":

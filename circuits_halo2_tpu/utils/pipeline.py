@@ -70,6 +70,31 @@ def generate_setup_artifacts(
     return SetupArtifacts(params, pk, vk, cs, config, (levels, n_currencies, n_bytes))
 
 
+def generate_incremental_artifacts(
+    k: int,
+    ptau_path: str | None,
+    levels: int,
+    n_currencies: int,
+    n_bytes: int,
+) -> SetupArtifacts:
+    """Setup + keygen for the incremental (IVC-step) inclusion circuit
+    (`models/incremental.py`); same SRS handling as
+    ``generate_setup_artifacts``."""
+    from ..models.incremental import compile_incremental_circuit
+
+    if ptau_path is not None:
+        params = ParamsKZG.read(ptau_path)
+        if params.k < k:
+            raise ValueError("provided ptau is smaller than the requested k")
+        if params.k > k:
+            params = params.downsize(k)
+    else:
+        params = ParamsKZG.setup(k)
+    _, cs, config, asn = compile_incremental_circuit(levels, n_currencies, n_bytes, k)
+    vk, pk = keygen(params, cs, asn)
+    return SetupArtifacts(params, pk, vk, cs, config, (levels, n_currencies, n_bytes))
+
+
 def full_prover(
     artifacts: SetupArtifacts,
     circuit: MstInclusionCircuit,

@@ -1,0 +1,101 @@
+"""Incremental (IVC-style) inclusion — circom-side witness parity and the
+TPU-native PLONK step-proof chain.
+
+Reference behavior: `zk_prover/examples/nova_incremental_verifier.rs` +
+`zk_prover/src/circom/incremental_mst_inclusion.circom` (SURVEY §2a #21-22).
+"""
+
+import os
+from pathlib import Path
+
+import pytest
+
+from circuits_halo2_tpu.merkle import circom_mst as CM
+from circuits_halo2_tpu.ops import poseidon_circom as PC
+
+HERE = Path(__file__).parent
+STATES = [str(HERE / "fixtures_csv" / "states" / f"entry_16_{i}.csv") for i in (1, 2, 3)]
+
+
+def test_circom_poseidon_known_vectors():
+    # canonical circomlib test vectors (circomlibjs test suite)
+    assert PC.hash_n([1, 2]) == int(
+        "7853200120776062878684798364095072458815029376092732009249414926327459813530"
+    )
+    assert PC.hash_n([1, 2, 3, 4]) == int(
+        "18821383157269793795438455681495246036402687001665670618754263018637548127333"
+    )
+
+
+def test_circom_mst_proof_roundtrip():
+    proof = CM.build_merkle_proof(STATES[0], 0)
+    assert len(proof.path_indices) == 4  # 16 leaves -> 4 levels
+    assert CM.verify_merkle_proof(proof)
+    # root balances are the column totals
+    entries = CM.parse_states_csv(STATES[0])
+    totals = [sum(b[i] for _, b in entries) for i in range(2)]
+    assert proof.root.balances == totals
+    # tamper: wrong user index witness fails against original root
+    bad = CM.build_merkle_proof(STATES[0], 1)
+    bad.root = proof.root
+    assert (
+        CM.verify_merkle_proof(bad)
+        == (CM.build_merkle_proof(STATES[0], 1).root.hash == proof.root.hash)
+    )
+
+
+def test_state_chain_structure():
+    proofs, user_states, liab_states = CM.state_chain(STATES, 0)
+    assert len(proofs) == 3 and len(user_states) == 4 and len(liab_states) == 4
+    assert user_states[0] == 0 and liab_states[0] == 0
+    # chain recomputes step by step
+    us = 0
+    ls = 0
+    for p in proofs:
+        us = CM.user_state_next(us, p.username, p.user_balances)
+        ls = CM.liabilities_state_next(ls, p.root.hash)
+    assert us == user_states[-1]
+    assert ls == liab_states[-1]
+    # same user, different rounds => different states
+    assert len(set(user_states)) == 4
+
+
+def test_incremental_circuit_mock():
+    """Step circuit satisfiability + wrong-state negative via MockProver."""
+    from circuits_halo2_tpu.merkle.mst import MerkleSumTree, Cryptocurrency
+    from circuits_halo2_tpu.models.incremental import (
+        IncrementalMstInclusionCircuit,
+        entries_from_states_csv,
+    )
+    from circuits_halo2_tpu.models.mock_prover import MockProver
+
+    cryptos = [Cryptocurrency("ETH", "ETH"), Cryptocurrency("BTC", "BTC")]
+    tree = MerkleSumTree.from_entries(entries_from_states_csv(STATES[0]), cryptos)
+    mp = tree.generate_proof(0)
+    circ = IncrementalMstInclusionCircuit.init_step(4, 2, 8, mp, 7, 9)
+    inst = circ.instances()
+    assert MockProver(11, circ, inst).verify() == []
+
+    # corrupt the claimed user_state_cur -> exact instance failure
+    bad = [list(inst[0])]
+    bad[0][2] = (bad[0][2] + 1) % (1 << 64)
+    failures = MockProver(11, circ, bad).verify()
+    assert failures, "tampered state must fail"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CIRCUITS_TPU_SLOW"),
+    reason="full 3-round chain proving (~3 min); run with CIRCUITS_TPU_SLOW=1",
+)
+def test_incremental_chain_prove_verify():
+    from circuits_halo2_tpu.models import incremental as INC
+    from circuits_halo2_tpu.utils import pipeline
+
+    art = pipeline.generate_incremental_artifacts(
+        11, str(HERE / "fixtures_ptau_hermez-raw-11"), 4, 2, 8
+    )
+    chain = INC.prove_chain(art, STATES, 0)
+    assert INC.verify_chain(art, chain)
+    # broken chaining rejected
+    chain.steps[1].instances[0][0] ^= 1
+    assert not INC.verify_chain(art, chain)
