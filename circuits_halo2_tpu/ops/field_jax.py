@@ -111,31 +111,62 @@ def _bc(const: np.ndarray, ndim: int) -> jax.Array:
 # Carry handling
 # ---------------------------------------------------------------------------
 
+def _shift_down(x: jax.Array, d: int) -> jax.Array:
+    """x[i-d] along axis 0, zero-filled below (carries flow low → high)."""
+    return jnp.concatenate([jnp.zeros_like(x[:d]), x[:-d]], axis=0)
+
+
+def _kogge_stone_carry(g: jax.Array, p: jax.Array) -> jax.Array:
+    """Log-depth prefix carries. g, p: (C, *batch) 0/1 generate/propagate
+    flags per column. Returns G where G[i] = carry OUT of column i (i.e.
+    carry into column i+1), resolved in ceil(log2 C) shift-combine steps
+    instead of a C-step sequential scan."""
+    c = g.shape[0]
+    d = 1
+    while d < c:
+        g = g | (p & _shift_down(g, d))
+        p = p & _shift_down(p, d)
+        d *= 2
+    return g
+
+
 def _carry_scan(cols: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Normalize per-column sums (< 2^27) to exact 16-bit limbs.
 
     cols: (C, *batch) uint32. Returns (limbs (C, *batch), carry_out (*batch,)).
+
+    Log-depth (scan-free): two shift-and-add folds bound every column to
+    [0, 2^16] (fold 1: lo<2^16 + hi<2^11; fold 2: lo<2^16 + hi≤1), leaving
+    only 0/1 ripple carries, which a Kogge–Stone carry-lookahead resolves in
+    log2(C) steps. The sequential ``lax.scan`` this replaces was the
+    dominant cost of every exact field op on TPU (~C dependent micro-steps
+    per mul; see the module docstring of ops/poseidon_fast for the history).
     """
-
-    def step(carry, col):
-        v = col + carry
-        return v >> LIMB_BITS, v & LIMB_MASK
-
-    carry_out, limbs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
-    return limbs, carry_out
+    # two extra columns absorb the fold spill + final carry (spill < 2^12)
+    x = jnp.concatenate([cols, jnp.zeros_like(cols[:2])], axis=0)
+    for _ in range(2):
+        x = (x & LIMB_MASK) + _shift_down(x >> LIMB_BITS, 1)
+    g = x >> LIMB_BITS              # 0/1: column holds exactly 2^16
+    p = ((x & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
+    gg = _kogge_stone_carry(g, p)
+    carry_in = _shift_down(gg, 1)
+    limbs = (x + carry_in) & LIMB_MASK
+    carry_out = limbs[-2] + (limbs[-1] << LIMB_BITS)
+    return limbs[:-2], carry_out
 
 
 def _sub_limbs(a: jax.Array, b) -> tuple[jax.Array, jax.Array]:
-    """Exact limbwise a - b with borrow scan. Returns (diff, borrow_out)."""
+    """Exact limbwise a - b with log-depth borrow lookahead.
+
+    Returns (diff, borrow_out). Borrow generate: a_i < b_i; propagate:
+    a_i == b_i; same Kogge–Stone combine as the addition carries."""
     b = jnp.broadcast_to(jnp.asarray(b, jnp.uint32), a.shape)
-
-    def step(borrow, ab):
-        ai, bi = ab
-        v = ai + (LIMB_MASK + 1) - bi - borrow
-        return 1 - (v >> LIMB_BITS), v & LIMB_MASK
-
-    borrow_out, diff = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, b))
-    return diff, borrow_out
+    g = (a < b).astype(jnp.uint32)
+    p = (a == b).astype(jnp.uint32)
+    bb = _kogge_stone_carry(g, p)
+    borrow_in = _shift_down(bb, 1)
+    diff = (a + (LIMB_MASK + 1) - b - borrow_in) & LIMB_MASK
+    return diff, bb[-1]
 
 
 def _cond_sub(spec_mod, x: jax.Array, carry_in=None) -> jax.Array:

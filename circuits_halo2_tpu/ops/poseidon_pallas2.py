@@ -101,6 +101,28 @@ def _mul_dyn(a: list, b: list) -> list:
     return acc
 
 
+def _sqr_dyn(a: list) -> list:
+    """Squaring: off-diagonal column products a_i·a_j (i<j) are computed
+    once and accumulated twice — 171 VPU multiplies instead of 324 for the
+    general product. Masked parts are added twice (never 2·prod, which
+    could overflow uint32); column sums stay < 2^23."""
+    zero = jnp.zeros_like(a[0])
+    out_limbs = 2 * len(a)
+    acc = [zero] * out_limbs
+    for i, ai in enumerate(a):
+        prod = ai * ai
+        acc[2 * i] = acc[2 * i] + (prod & MASK)
+        acc[2 * i + 1] = acc[2 * i + 1] + (prod >> LB)
+        for j in range(i + 1, len(a)):
+            prod = ai * a[j]
+            lo = prod & MASK
+            hi = prod >> LB
+            k = i + j
+            acc[k] = acc[k] + lo + lo
+            acc[k + 1] = acc[k + 1] + hi + hi
+    return acc
+
+
 def _redc(t: list) -> list:
     m = _fold(_mul_const(t[:LOW], _NP15, LOW))[:LOW]
     mn = _mul_const(m, _P15, 2 * NL)
@@ -121,6 +143,10 @@ def _mont_mul(a: list, b: list) -> list:
     return _redc(_fold(_mul_dyn(a, b)))
 
 
+def _mont_sqr(a: list) -> list:
+    return _redc(_fold(_sqr_dyn(a)))
+
+
 def _mont_mul_const(a: list, c: list[int]) -> list:
     return _redc(_fold(_mul_const(a, c, 2 * NL)))
 
@@ -130,14 +156,34 @@ def _add(a: list, b: list) -> list:
 
 
 def _pow5(x: list) -> list:
-    x2 = _mont_mul(x, x)
-    x4 = _mont_mul(x2, x2)
+    x2 = _mont_sqr(x)
+    x4 = _mont_sqr(x2)
     return _mont_mul(x4, x)
 
 
+def _mds_row(a: list, b: list, ca: list[int], cb: list[int]) -> list:
+    """One MDS output word ca·a + cb·b with LAZY reduction: both constant
+    products accumulate into one wide column vector, then a single REDC —
+    2 REDCs per MDS layer instead of 4. REDC(x+y) ≡ REDC(x)+REDC(y) mod p
+    and the redundant-limb bound still holds (columns < 2^24)."""
+    acc = _mul_const(a, ca, 2 * NL)
+    for j, cj in enumerate(cb):
+        if cj == 0:
+            continue
+        for i, bi in enumerate(b):
+            k = i + j
+            if k >= 2 * NL:
+                break
+            prod = bi * cj
+            acc[k] = acc[k] + (prod & MASK)
+            if k + 1 < 2 * NL:
+                acc[k + 1] = acc[k + 1] + (prod >> LB)
+    return _redc(_fold(acc))
+
+
 def _mds_layer(a: list, b: list):
-    n0 = _add(_mont_mul_const(a, _MDS[0][0]), _mont_mul_const(b, _MDS[0][1]))
-    n1 = _add(_mont_mul_const(a, _MDS[1][0]), _mont_mul_const(b, _MDS[1][1]))
+    n0 = _mds_row(a, b, _MDS[0][0], _MDS[0][1])
+    n1 = _mds_row(a, b, _MDS[1][0], _MDS[1][1])
     return n0, n1
 
 
