@@ -197,6 +197,72 @@ def bench_criterion():
     assert ok, "criterion proof failed to verify"
 
 
+def bench_northstar():
+    """BASELINE.md north-star config: end-to-end proof for a 2^16-entry MST
+    solvency circuit at k=17 (build → keygen → prove → verify). The SRS is
+    the unsafe deterministic test setup cached on disk (the reference's
+    in-bench `ParamsKZG::setup(k, OsRng)` equivalent,
+    `zk_prover/src/circuits/utils.rs:67-73`)."""
+    import numpy as np
+
+    from circuits_halo2_tpu.merkle.device_tree import build_device_tree
+    from circuits_halo2_tpu.merkle.mst import Entry
+    from circuits_halo2_tpu.models.mst_inclusion import MstInclusionCircuit
+    from circuits_halo2_tpu.utils import pipeline
+    from circuits_halo2_tpu.utils.srs import ParamsKZG
+
+    levels, ncur, nbytes, k = 16, 2, 8, 17
+    n = 1 << levels
+
+    entry0 = Entry("dxGaEAii", [11888, 41163])
+    rng = np.random.default_rng(0)
+    digests = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+    digests[0] = np.frombuffer(
+        entry0.hashed_username.to_bytes(32, "big"), dtype=np.uint8
+    )
+    balances = rng.integers(0, 1 << 48, size=(n, ncur), dtype=np.uint64)
+    balances[0] = entry0.balances
+
+    use_pallas = os.environ.get("JAX_PLATFORMS", "") != "cpu"
+    build_device_tree(digests[:4096], balances[:4096], use_pallas=use_pallas).root()
+    t0 = time.perf_counter()
+    tree = build_device_tree(digests, balances, use_pallas=use_pallas)
+    tree.root()
+    emit("northstar_build_2^16", time.perf_counter() - t0, "s")
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    srs_cache = os.path.join(here, ".bench_srs_k17.bin")
+    if not os.path.exists(srs_cache):
+        t0 = time.perf_counter()
+        ParamsKZG.setup(k).write(srs_cache)
+        emit("northstar_srs_setup_k17", time.perf_counter() - t0, "s")
+
+    t0 = time.perf_counter()
+    art = pipeline.generate_setup_artifacts(k, srs_cache, levels, ncur, nbytes)
+    emit("northstar_keygen_k17", time.perf_counter() - t0, "s")
+
+    proof_w = tree.generate_proof(0, entry0)
+    circuit = MstInclusionCircuit.init(levels, ncur, nbytes, proof_w)
+    instances = circuit.instances()
+
+    t0 = time.perf_counter()
+    proof = pipeline.full_prover(art, circuit, instances)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proof = pipeline.full_prover(art, circuit, instances)
+    emit(
+        "northstar_prove_k17",
+        time.perf_counter() - t0,
+        "s",
+        {"proof_bytes": len(proof), "cold_s": round(cold, 3)},
+    )
+
+    t0 = time.perf_counter()
+    ok = pipeline.full_verifier(art, proof, instances)
+    emit("northstar_verify_k17", time.perf_counter() - t0, "s", {"ok": ok})
+    assert ok, "north-star proof failed to verify"
+
+
 def _setup():
     from circuits_halo2_tpu.utils import pipeline
 
@@ -224,6 +290,9 @@ def main():
 
     if "criterion" in stages:
         bench_criterion()
+
+    if "northstar" in stages:
+        bench_northstar()
 
     if not ({"keygen", "prove", "verify"} & set(stages)):
         return

@@ -145,9 +145,6 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, asn: Assignment):
 
     from ..utils.poly_device import intt_cols
 
-    fixed_polys = intt_cols(fixed_values, omega)
-    sigma_polys = intt_cols(sigma_values, omega)
-
     blinders = cs.blinding_factors()
     usable = n - blinders - 1
     l0_evals = [0] * n
@@ -158,7 +155,16 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, asn: Assignment):
     for row in range(usable, n):
         l_active[row] = 0
 
-    l0_poly, l_last_poly = intt_cols([l0_evals, l_last_evals], omega)
+    # one batched iNTT dispatch for every keygen polynomial (fixed + sigma +
+    # l0/l_last) — a single compiled shape instead of three large graphs
+    all_polys = intt_cols(
+        fixed_values + sigma_values + [l0_evals, l_last_evals], omega
+    )
+    nf = len(fixed_values)
+    ns = len(sigma_values)
+    fixed_polys = all_polys[:nf]
+    sigma_polys = all_polys[nf : nf + ns]
+    l0_poly, l_last_poly = all_polys[nf + ns], all_polys[nf + ns + 1]
     pk = ProvingKey(
         vk,
         fixed_polys,

@@ -304,9 +304,6 @@ def prove(
     ):
         t.write_point(pt)
     x = t.squeeze_challenge()
-    # host copy of the quotient coefficients (phase-6 r_j/Horner scalars)
-    h_coeffs = dom.from_device(h_coeff_dev)
-    assert all(c == 0 for c in h_coeffs[num_h * n :]), "quotient degree overflow"
     _mark("phase4 quotient+commit")
 
     # ---- phase 5: evaluations (ONE batched powers-dot dispatch) -----------
@@ -329,14 +326,20 @@ def prove(
         pt_idx.setdefault(x * F.fr_pow(omega, rot_i % n) % P, len(pt_idx))
     points = list(pt_idx)
 
+    xn_pows = [F.fr_pow(x_n, i) for i in range(num_h)]
+
     p56 = _phase56_fns(pk, cs, dom, offsets, num_h, sets)
-    evs_dev, rand_dev_evals = p56.eval_all(
-        big_coeff, random_dev, dom.to_device(points)
+    evs_dev, rand_dev_evals, quot_dev_evals, tail_zero = p56.eval_all(
+        big_coeff, h_coeff_dev, random_dev, dom.to_device(xn_pows),
+        dom.to_device(points)
     )
     npts = len(points)
     allv = dom.from_device(
-        jnp.concatenate([evs_dev.reshape(16, -1), rand_dev_evals], axis=1)
+        jnp.concatenate(
+            [evs_dev.reshape(16, -1), rand_dev_evals, quot_dev_evals], axis=1
+        )
     )
+    assert bool(tail_zero), "quotient degree overflow"
     ncols_total = evs_dev.shape[1]
 
     def ev(name, idx, point) -> int:
@@ -344,6 +347,9 @@ def prove(
 
     def random_eval(point) -> int:
         return allv[ncols_total * npts + pt_idx[point]]
+
+    def quotient_eval(point) -> int:
+        return allv[(ncols_total + 1) * npts + pt_idx[point]]
 
     for col, rot_i in cs.advice_queries:
         t.write_scalar(ev("advice", col, x * F.fr_pow(omega, rot_i % n) % P))
@@ -373,22 +379,10 @@ def prove(
     # points). Device dispatch A: f_j combination, r_j subtraction, the
     # chained (X - z) divisions and the ν-fold → h(X). Dispatch B (after μ):
     # the final L(X)/(X - μ) → W'.
-    h_combined_host = [0] * n
-    xn_pow = 1
-    for i in range(num_h):
-        for k in range(n):
-            h_combined_host[k] = (
-                h_combined_host[k] + xn_pow * h_coeffs[i * n + k]
-            ) % P
-        xn_pow = xn_pow * x_n % P
-
     def poly_eval_at(poly, point) -> int:
         kind = poly[0]
         if kind == "quotient":
-            acc = 0
-            for c in reversed(h_combined_host):
-                acc = (acc * point + c) % P
-            return acc
+            return quotient_eval(point)
         if kind == "random":
             return random_eval(point)
         return ev(kind, poly[1], point)
@@ -396,7 +390,6 @@ def prove(
     max_polys = max(len(polys) for _, polys in sets)
     zeta_pows = [pow(zeta, i, P) for i in range(max_polys)]
     nu_pows = [pow(nu, j, P) for j in range(len(sets))]
-    xn_pows = [pow(x_n, i, P) for i in range(num_h)]
 
     set_evals = []  # per set: evals of f_j at the set's points
     r_rows = []     # per set: r_j interpolation coefficients (padded)
@@ -526,7 +519,7 @@ def _phase56_fns(pk, cs, dom, offsets, num_h, sets):
     n = dom.n
 
     @jax.jit
-    def eval_all(big_coeff, random_dev, pts_m):
+    def eval_all(big_coeff, h_coeff, random_dev, xn_pows, pts_m):
         npts = pts_m.shape[1]
         pws = jnp.stack(
             [poly_device._powers_dev(pts_m[:, i : i + 1], n) for i in range(npts)],
@@ -538,7 +531,18 @@ def _phase56_fns(pk, cs, dom, offsets, num_h, sets):
         rnd = poly_device.tree_sum_mod(
             FJ.mont_mul(random_dev[:, None, :], pws)
         )[..., 0]  # (16, npts)
-        return evs, rnd
+        # x^n-combined quotient h(X) evaluated at the same points (keeps the
+        # O(num_h·n) fold and the per-point Horner off the host)
+        h_pieces = h_coeff[:, : num_h * n].reshape(16, num_h, n)
+        h_combined = None
+        for i in range(num_h):
+            piece = FJ.mont_mul(h_pieces[:, i], xn_pows[:, i : i + 1])
+            h_combined = piece if h_combined is None else FJ.add_mod(h_combined, piece)
+        quot = poly_device.tree_sum_mod(
+            FJ.mont_mul(h_combined[:, None, :], pws)
+        )[..., 0]  # (16, npts)
+        tail_zero = jnp.all(h_coeff[:, num_h * n :] == 0)
+        return evs, rnd, quot, tail_zero
 
     @functools.partial(jax.jit, static_argnums=(9,))
     def open_w(big_coeff, h_coeff, random_dev, xn_pows, zeta_pows, nu_pows,

@@ -14,6 +14,7 @@ form. Cross-chip sharding for large n lives in ``parallel/``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -102,10 +103,12 @@ def _bitrev(n: int) -> np.ndarray:
     return _bitrev_cache[n]
 
 
-def _ntt_core(a: jax.Array, n: int, omega: int) -> jax.Array:
-    """Shape-polymorphic NTT body: a is (16, *batch, n); the transform runs
-    along the last axis, batch dims ride for free (used standalone and as
-    the local stage of the distributed four-step NTT)."""
+def _ntt_core_unrolled(a: jax.Array, n: int, omega: int) -> jax.Array:
+    """Unrolled NTT body: a is (16, *batch, n); the transform runs along the
+    last axis, batch dims ride for free. Fastest at runtime (every butterfly
+    is a pure reshape — no gathers), but the graph holds log2(n) distinct
+    mont_mul stages, so XLA compile time grows ~quadratically with log n.
+    Used for small n; large n takes the scan path below."""
     logn = n.bit_length() - 1
     rev = jnp.asarray(_bitrev(n))
     x = jnp.take(a, rev, axis=-1)
@@ -121,6 +124,95 @@ def _ntt_core(a: jax.Array, n: int, omega: int) -> jax.Array:
         bot = FJ.sub_mod(u, v)
         x = jnp.stack([top, bot], axis=-2).reshape(x.shape[:-1] + (n,))
     return x
+
+
+_scan_tables_cache: dict[tuple[int, int], tuple] = {}
+
+
+def _scan_tables(n: int, omega: int):
+    """Per-stage gather indices + full-width twiddles for the scan NTT.
+
+    Returns (uidx, vidx, perm, tw): int32 (logn, n/2)×2, (logn, n) and
+    uint32 (logn, 16, n/2) stacked so a ``lax.scan`` runs one uniform
+    butterfly stage per step."""
+    key = (n, omega)
+    hit = _scan_tables_cache.get(key)
+    if hit is not None:
+        return hit
+    logn = n.bit_length() - 1
+    half_n = n // 2
+    i = np.arange(half_n, dtype=np.int64)
+    j = np.arange(n, dtype=np.int64)
+    uidx = np.empty((logn, half_n), dtype=np.int32)
+    vidx = np.empty((logn, half_n), dtype=np.int32)
+    perm = np.empty((logn, n), dtype=np.int32)
+    tw = np.empty((logn, NLIMBS_, half_n), dtype=np.uint32)
+    for s in range(logn):
+        half = 1 << s
+        group = i // half
+        off = i % half
+        u = group * 2 * half + off
+        uidx[s] = u
+        vidx[s] = u + half
+        # inverse map: position j reads stacked[top|bot] at pair index
+        gj = j // (2 * half)
+        oj = j % (2 * half)
+        is_bot = oj >= half
+        pair = gj * half + (oj - half * is_bot)
+        perm[s] = pair + half_n * is_bot
+        step = F.fr_pow(omega, n >> (s + 1))
+        ws = [1] * half
+        for t_ in range(1, half):
+            ws[t_] = ws[t_ - 1] * step % F.FR_MOD
+        mont = FJ.ints_to_limbs([(w << 256) % F.FR_MOD for w in ws])  # (16, half)
+        tw[s] = np.tile(mont, (1, half_n // half))[:, :half_n]
+    out = (uidx, vidx, perm, tw)
+    _scan_tables_cache[key] = out
+    return out
+
+
+NLIMBS_ = FJ.NLIMBS
+
+
+def _ntt_core_scan(a: jax.Array, n: int, omega: int) -> jax.Array:
+    """Scan NTT body: one compiled butterfly stage re-run log2(n) times
+    (stage tables are scanned-over constants). Compile time is O(1) in
+    log n at the cost of three gathers per stage — the right trade for the
+    k≥13 domains where the unrolled graph takes minutes to compile."""
+    logn = n.bit_length() - 1
+    rev = jnp.asarray(_bitrev(n))
+    x = jnp.take(a, rev, axis=-1)
+    uidx, vidx, perm, tw = _scan_tables(n, omega)
+
+    def stage(x, tabs):
+        ui, vi, pm, t = tabs
+        u = jnp.take(x, ui, axis=-1)
+        v = FJ.mont_mul(
+            jnp.take(x, vi, axis=-1),
+            t.reshape((NLIMBS_,) + (1,) * (x.ndim - 2) + (n // 2,)),
+        )
+        stacked = jnp.concatenate([FJ.add_mod(u, v), FJ.sub_mod(u, v)], axis=-1)
+        return jnp.take(stacked, pm, axis=-1), None
+
+    x, _ = jax.lax.scan(
+        stage,
+        x,
+        (jnp.asarray(uidx), jnp.asarray(vidx), jnp.asarray(perm), jnp.asarray(tw)),
+        length=logn,
+    )
+    return x
+
+
+# Above this size the unrolled graph's XLA compile time dominates any
+# runtime edge (measured: k=13 iNTT ≈ 190 s compile on a 4-core host, and
+# worse through the remote TPU compile service).
+SCAN_THRESHOLD = int(os.environ.get("CIRCUITS_NTT_SCAN_MIN", 1 << 12))
+
+
+def _ntt_core(a: jax.Array, n: int, omega: int) -> jax.Array:
+    if n >= SCAN_THRESHOLD:
+        return _ntt_core_scan(a, n, omega)
+    return _ntt_core_unrolled(a, n, omega)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "omega"))
