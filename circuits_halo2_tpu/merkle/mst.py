@@ -199,9 +199,22 @@ def _from_mont_arr(limbs) -> list[int]:
     return [(v * _R_INV) % F.FR_MOD for v in FJ.limbs_to_ints(np.asarray(limbs))]
 
 
+def _hash_columns(pre_cols: list[list[int]]) -> list[int]:
+    """Hash N same-length messages given as L canonical-int columns.
+
+    Prefers the native C++ sponge (fieldcc.cpp poseidon_hash_batch — the
+    host-side analogue of the reference's rayon tree build,
+    build_tree.rs:29-52); falls back to the batched device path."""
+    from ..native import available as _native_ok, poseidon_hash_batch
+
+    if _native_ok():
+        return poseidon_hash_batch(list(zip(*pre_cols)), len(pre_cols))
+    arr = np.stack([_to_mont_arr(c) for c in pre_cols])
+    return _from_mont_arr(poseidon.hash_batch_chunked(arr))
+
+
 def build_leaves_from_entries(entries: list[Entry]) -> list[Node]:
-    """Batched Poseidon over all leaves — one device dispatch."""
-    n = len(entries)
+    """Batched Poseidon over all leaves — one native/device dispatch."""
     n_currencies = len(entries[0].balances)
     length = n_currencies + 1
     preimages = [
@@ -209,8 +222,7 @@ def build_leaves_from_entries(entries: list[Entry]) -> list[Node]:
         for e in entries
     ]
     cols = [[pre[i] for pre in preimages] for i in range(length)]
-    arr = np.stack([_to_mont_arr(c) for c in cols])  # (L, 16, n)
-    hashes = _from_mont_arr(poseidon.hash_batch_chunked(arr))
+    hashes = _hash_columns(cols)
     return [Node(h, pre[1:]) for h, pre in zip(hashes, preimages)]
 
 
@@ -233,8 +245,7 @@ def build_merkle_tree_from_leaves(
                 pre_cols[c].append(sums[c])
             pre_cols[n_currencies].append(l.hash)
             pre_cols[n_currencies + 1].append(r.hash)
-        arr = np.stack([_to_mont_arr(c) for c in pre_cols])
-        hashes = _from_mont_arr(poseidon.hash_batch_chunked(arr))
+        hashes = _hash_columns(pre_cols)
         tree.append(
             [Node(h, b) for h, b in zip(hashes, parents_balances)]
         )

@@ -23,6 +23,7 @@ native to TPU's 32-bit integer VPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -181,13 +182,108 @@ def _cond_sub(spec_mod, x: jax.Array, carry_in=None) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Wide multiply
 # ---------------------------------------------------------------------------
+#
+# Two formulations of the limb-product column sums, bit-identical outputs:
+#
+# "unrolled" — 16-step schoolbook accumulation (one vector multiply + two
+#   scatter-adds per step). Fewest arithmetic ops and no large intermediates;
+#   best steady-state throughput on the TPU VPU. But it traces to ~130 HLO
+#   ops per multiply, and the prover/MSM scan bodies contain dozens of
+#   multiplies — XLA compile time of those graphs (especially XLA:CPU) was
+#   dominated by these unrolls.
+#
+# "dot" — both operands split into 8-bit half-limbs; ONE broadcast outer
+#   product (32×32, products < 2^16) and ONE contraction with a constant 0/1
+#   anti-diagonal matrix T (col8[k] = Σ_{i+j=k} a8[i]·b8[j], sums ≤ 32·2^16 <
+#   2^21), then adjacent 8-bit columns pair-merged into 16-bit columns
+#   (< 2^30, still uint32-safe; `_carry_scan` tolerates any uint32 input).
+#   ~10x fewer HLO ops per multiply — compiles proportionally faster — at the
+#   cost of materializing the (1024, batch) outer product, so per-element
+#   HBM traffic is higher. On TPU the contraction rides the MXU.
+#
+# "scan" — the schoolbook j-loop as one lax.scan (body: one vector multiply
+#   + a masked dynamic-roll accumulate). Same bounds and bit-exact results,
+#   ~10x fewer traced ops than "unrolled", ~2x slower steady-state than it
+#   (one extra memory pass per step); no large intermediates.
+#
+# Default: "scan" on CPU (compile time is the binding constraint there — the
+# multichip dryrun and the test suite run on XLA:CPU, where the big prover
+# graphs took minutes of LLVM per jit with the unrolled form), "unrolled" on
+# TPU (runtime is). Override with CIRCUITS_TPU_MUL_IMPL=dot|scan|unrolled.
 
-def _mul_columns(a: jax.Array, b: jax.Array, out_limbs: int) -> jax.Array:
-    """Column sums of the limb product, pre-carry.
+_T8_CACHE: dict[int, np.ndarray] = {}
 
-    a, b: (16, *batch) exact 16-bit limbs. Returns (out_limbs, *batch) uint32
-    with each column < 2^21 (32 summands of < 2^16).
-    """
+
+def _antidiag_T8(out8: int) -> np.ndarray:
+    """(out8, 1024) 0/1 matrix: row k sums flattened outer[i·32+j] over i+j=k."""
+    if out8 not in _T8_CACHE:
+        t = np.zeros((out8, 4 * NLIMBS * NLIMBS), dtype=np.uint32)
+        for i in range(2 * NLIMBS):
+            for j in range(2 * NLIMBS):
+                if i + j < out8:
+                    t[i + j, i * 2 * NLIMBS + j] = 1
+        _T8_CACHE[out8] = t
+    return _T8_CACHE[out8]
+
+
+def _mul_columns_dot(a: jax.Array, b: jax.Array, out_limbs: int) -> jax.Array:
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (NLIMBS,) + batch)
+    b = jnp.broadcast_to(b, (NLIMBS,) + batch)
+
+    def split8(x):  # (16, *batch) → (32, *batch) interleaved lo/hi bytes
+        return jnp.stack([x & 0xFF, x >> 8], axis=1).reshape(
+            (2 * NLIMBS,) + batch
+        )
+
+    a8, b8 = split8(a), split8(b)
+    outer = (a8[:, None] * b8[None, :]).reshape((4 * NLIMBS * NLIMBS,) + batch)
+    out8 = 2 * out_limbs  # 8-bit columns covering the requested 16-bit ones
+    cols8 = jax.lax.dot_general(
+        jnp.asarray(_antidiag_T8(out8)),
+        outer,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.uint32,
+    )  # (out8, *batch), each < 2^21
+    return cols8[0::2] + (cols8[1::2] << 8)  # (out_limbs, *batch) < 2^30
+
+
+def _mul_columns_scan(a: jax.Array, b: jax.Array, out_limbs: int) -> jax.Array:
+    """Schoolbook column sums with the 16-step j-loop as ONE lax.scan.
+
+    Same arithmetic as the unrolled form (so same uint32 bounds, columns
+    < 2^21) but ~10x fewer traced ops: the body is a single vector multiply
+    plus a dynamic-roll accumulate. Compile-time optimized; steady-state it
+    pays one extra memory pass per step for the roll."""
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (NLIMBS,) + batch)
+    b = jnp.broadcast_to(b, (NLIMBS,) + batch)
+    acc = jnp.zeros((out_limbs + 1,) + batch, dtype=jnp.uint32)
+    # contribution of b[j]: (a·b_j) split into lo/hi staggered by one limb,
+    # rolled up by j columns. Pad the stagger buffer to the acc length once.
+    pad = out_limbs + 1 - (NLIMBS + 1)
+
+    def step(acc, xs):
+        j, b_j = xs
+        p = a * b_j
+        c = jnp.concatenate(
+            [(p & LIMB_MASK), jnp.zeros_like(p[:1])], axis=0
+        ) + jnp.concatenate([jnp.zeros_like(p[:1]), p >> LIMB_BITS], axis=0)
+        if pad > 0:
+            c = jnp.concatenate([c, jnp.zeros((pad,) + batch, jnp.uint32)], axis=0)
+        elif pad < 0:
+            c = c[: out_limbs + 1]
+        # zero rows that would wrap around under the roll (truncated products,
+        # out_limbs < 32): row r lands at r + j, so drop r >= out_limbs+1 - j.
+        keep = jnp.arange(out_limbs + 1, dtype=jnp.int32) < (out_limbs + 1 - j)
+        c = jnp.where(keep.reshape((out_limbs + 1,) + (1,) * len(batch)), c, 0)
+        return acc + jnp.roll(c, j, axis=0), None
+
+    acc, _ = jax.lax.scan(step, acc, (jnp.arange(NLIMBS, dtype=jnp.int32), b))
+    return acc[:out_limbs]
+
+
+def _mul_columns_unrolled(a: jax.Array, b: jax.Array, out_limbs: int) -> jax.Array:
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     acc = jnp.zeros((out_limbs + 1,) + batch, dtype=jnp.uint32)
     for j in range(NLIMBS):
@@ -198,6 +294,36 @@ def _mul_columns(a: jax.Array, b: jax.Array, out_limbs: int) -> jax.Array:
         acc = acc.at[j : j + width].add(p & LIMB_MASK)
         acc = acc.at[j + 1 : j + width + 1].add(p >> LIMB_BITS)
     return acc[:out_limbs]
+
+
+def _default_mul_impl() -> str:
+    impl = os.environ.get("CIRCUITS_TPU_MUL_IMPL")
+    if impl in ("dot", "scan", "unrolled"):
+        return impl
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return "scan" if backend == "cpu" else "unrolled"
+
+
+_MUL_IMPL: str | None = None
+
+
+def _mul_columns(a: jax.Array, b: jax.Array, out_limbs: int) -> jax.Array:
+    """Column sums of the limb product, pre-carry.
+
+    a, b: (16, *batch) exact 16-bit limbs. Returns (out_limbs, *batch) uint32
+    columns (bounded < 2^30; `_carry_scan` normalizes any uint32 columns).
+    """
+    global _MUL_IMPL
+    if _MUL_IMPL is None:
+        _MUL_IMPL = _default_mul_impl()
+    if _MUL_IMPL == "dot":
+        return _mul_columns_dot(a, b, out_limbs)
+    if _MUL_IMPL == "scan":
+        return _mul_columns_scan(a, b, out_limbs)
+    return _mul_columns_unrolled(a, b, out_limbs)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -133,29 +133,35 @@ def _apply_mds(s0, s1):
     return n0, n1
 
 
+# Per-round full/partial flags: 4 full, 56 partial, 4 full.
+_IS_FULL = np.zeros(N_ROUNDS, dtype=np.bool_)
+_IS_FULL[: R_FULL // 2] = True
+_IS_FULL[-(R_FULL // 2):] = True
+
+
 def permute_batch(s0: jax.Array, s1: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Batched permutation; s0, s1: (16, *batch) uint32 Montgomery limbs.
 
-    Rounds run under lax.scan (graph stays small; the batch dimension fills
-    the VPU lanes)."""
-    half = R_FULL // 2
+    All 64 rounds run under ONE lax.scan with a per-round is-full flag
+    (``s1`` is S-boxed only in full rounds). A single unified round body
+    keeps the compiled graph ~10x smaller than separate full/partial scans
+    — XLA:CPU codegen of one round body is ~6 s; the driver's cold-cache
+    multichip dryrun budget can't afford nine of them. The extra pow5 on
+    partial rounds is dead weight only on this exact XLA path; the
+    production TPU engine is ops/poseidon_pallas2."""
 
-    def full_round(carry, rc):
+    def round_fn(carry, xs):
+        rc, is_full = xs
         s0, s1 = carry
         s0 = FJ.pow5(FJ.add_mod(s0, rc[0]))
-        s1 = FJ.pow5(FJ.add_mod(s1, rc[1]))
-        return _apply_mds(s0, s1), None
-
-    def partial_round(carry, rc):
-        s0, s1 = carry
-        s0 = FJ.pow5(FJ.add_mod(s0, rc[0]))
-        s1 = FJ.add_mod(s1, rc[1])
+        u = FJ.add_mod(s1, rc[1])
+        s1 = FJ.select(jnp.broadcast_to(is_full, u.shape[1:]), FJ.pow5(u), u)
         return _apply_mds(s0, s1), None
 
     rc = jnp.asarray(_RC_MONT)
-    (s0, s1), _ = jax.lax.scan(full_round, (s0, s1), rc[:half])
-    (s0, s1), _ = jax.lax.scan(partial_round, (s0, s1), rc[half : half + R_PARTIAL])
-    (s0, s1), _ = jax.lax.scan(full_round, (s0, s1), rc[half + R_PARTIAL :])
+    (s0, s1), _ = jax.lax.scan(
+        round_fn, (s0, s1), (rc, jnp.asarray(_IS_FULL))
+    )
     return s0, s1
 
 
@@ -163,16 +169,21 @@ def hash_batch(inputs: jax.Array) -> jax.Array:
     """Batched ConstantLength<L> hash.
 
     inputs: (L, 16, *batch) uint32 Montgomery limbs (L message words each).
-    Returns (16, *batch) Montgomery digest.
+    Returns (16, *batch) Montgomery digest. Absorption scans over the L
+    message words so the permutation body is traced/compiled exactly once
+    regardless of message length.
     """
     length = inputs.shape[0]
     batch = inputs.shape[2:]
     s0 = jnp.zeros((16,) + batch, jnp.uint32)
     cap = jnp.broadcast_to(jnp.asarray(FJ.FR.const(length << 64)), (16,) + batch).astype(jnp.uint32)
-    s1 = cap
-    for i in range(length):
-        s0 = FJ.add_mod(s0, inputs[i])
-        s0, s1 = permute_batch(s0, s1)
+
+    def absorb(carry, x):
+        s0, s1 = carry
+        s0, s1 = permute_batch(FJ.add_mod(s0, x), s1)
+        return (s0, s1), None
+
+    (s0, _), _ = jax.lax.scan(absorb, (s0, cap), inputs)
     return s0
 
 

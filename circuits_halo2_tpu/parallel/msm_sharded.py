@@ -21,19 +21,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
-from jax.experimental.shard_map import shard_map
 
 from ..ops import field as F
 from ..ops import msm as M
 
 
-def msm_sharded_device(mesh: Mesh, xs, ys, valid, digits, axis: str = "shard"):
-    """Device-array entry: xs, ys (16, n); valid (n,); digits (B, NWIN, n),
-    n divisible by the mesh size. Returns a (16, B) Jacobian triple
-    (replicated)."""
+@functools.lru_cache(maxsize=8)
+def _sharded_pippenger(mesh: Mesh, axis: str):
+    """One jitted shard_map Pippenger per (mesh, axis).
+
+    The jit wrapper is essential: an eager shard_map compiles every inner
+    primitive as its own XLA program (dozens of small LLVM compiles on CPU);
+    under jit the whole sharded MSM is a single compile."""
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(
             PSpec(None, axis),
@@ -42,18 +44,26 @@ def msm_sharded_device(mesh: Mesh, xs, ys, valid, digits, axis: str = "shard"):
             PSpec(None, None, axis),
         ),
         out_specs=(PSpec(None, None), PSpec(None, None), PSpec(None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(xs_l, ys_l, valid_l, digits_l):
         part = M._pippenger_core(xs_l, ys_l, valid_l, digits_l)  # (16, B) ×3
         # gather partials: (ndev, 16, B) → (16, B, ndev) → tree fold
         g = [
-            jnp.moveaxis(jax.lax.all_gather(c, axis), 0, -1) for c in part
+            jnp.moveaxis(jax.lax.all_gather(c, axis, tiled=False), 0, -1)
+            for c in part
         ]
         out = M._tree_sum_last(tuple(g))
         return tuple(c[..., 0] for c in out)
 
-    return _run(xs, ys, valid, digits)
+    return jax.jit(_run)
+
+
+def msm_sharded_device(mesh: Mesh, xs, ys, valid, digits, axis: str = "shard"):
+    """Device-array entry: xs, ys (16, n); valid (n,); digits (B, NWIN, n),
+    n divisible by the mesh size. Returns a (16, B) Jacobian triple
+    (replicated)."""
+    return _sharded_pippenger(mesh, axis)(xs, ys, valid, digits)
 
 
 def msm_sharded(mesh: Mesh, points, scalar_rows, axis: str = "shard"):

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
-from jax.experimental.shard_map import shard_map
 
 from ..ops import field as F
 from ..ops import field_jax as FJ
@@ -74,19 +73,31 @@ def ntt_sharded(mesh: Mesh, a: jax.Array, omega: int, axis: str = "shard"):
     n1 = n // n2
     assert n1 * n2 == n and n2 % ndev == 0, (n1, n2, ndev)
 
-    omega_n1 = F.fr_pow(omega, n1)
-    omega_n2 = F.fr_pow(omega, n2)
-    tw = jnp.asarray(_twiddle_matrix(n1, n2, omega))
-
     mat = jax.device_put(a.reshape(16, n1, n2), NamedSharding(mesh, PSpec(None, None, axis)))
+    tw = jnp.asarray(_twiddle_matrix(n1, n2, omega))
     tw = jax.device_put(tw, NamedSharding(mesh, PSpec(None, None, axis)))
 
+    out = _four_step(mesh, axis, n1, n2, omega)(mat, tw)  # (16, n2, n1) sharded on k1
+    return out.reshape(16, n)
+
+
+@functools.lru_cache(maxsize=16)
+def _four_step(mesh: Mesh, axis: str, n1: int, n2: int, omega: int):
+    """One jitted shard_map four-step NTT per (mesh, axis, n1, n2, omega).
+
+    The jit wrapper matters: an eager shard_map compiles every inner
+    primitive as a separate XLA program; under jit the whole transform is a
+    single compile (and the lru_cache keeps the jitted callable's identity
+    stable so repeat calls don't retrace)."""
+    omega_n1 = F.fr_pow(omega, n1)
+    omega_n2 = F.fr_pow(omega, n2)
+
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(PSpec(None, None, axis), PSpec(None, None, axis)),
         out_specs=PSpec(None, None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(local, tw_local):
         # local: (16, n1, n2/ndev) — full columns of the shard's j2 range
@@ -103,8 +114,7 @@ def ntt_sharded(mesh: Mesh, a: jax.Array, omega: int, axis: str = "shard"):
         # transposed matrix on its last (k1) axis.
         return jnp.swapaxes(x, 1, 2)            # (16, n2, n1loc)
 
-    out = _run(mat, tw)  # (16, n2, n1) sharded on k1
-    return out.reshape(16, n)
+    return jax.jit(_run)
 
 
 def ntt_sharded_host(mesh: Mesh, values: list[int], omega: int) -> list[int]:

@@ -15,6 +15,8 @@ scaling axes are:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,20 +31,24 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+@functools.lru_cache(maxsize=8)
+def _hash_fn(mesh: Mesh, axis: str):
+    sharding = NamedSharding(mesh, PSpec(None, None, axis))
+    return jax.jit(
+        poseidon.hash_batch,
+        in_shardings=sharding,
+        out_shardings=NamedSharding(mesh, PSpec(None, axis)),
+    )
+
+
 def sharded_hash_batch(mesh: Mesh, inputs: jax.Array, axis: str = "shard"):
     """Batched Poseidon with the batch dimension sharded over the mesh.
 
     inputs: (L, 16, N) Montgomery limbs, N divisible by mesh size.
     Purely local compute — XLA partitions the batch axis; no collectives.
     """
-    sharding = NamedSharding(mesh, PSpec(None, None, axis))
-    inputs = jax.device_put(inputs, sharding)
-    fn = jax.jit(
-        poseidon.hash_batch,
-        in_shardings=sharding,
-        out_shardings=NamedSharding(mesh, PSpec(None, axis)),
-    )
-    return fn(inputs)
+    inputs = jax.device_put(inputs, NamedSharding(mesh, PSpec(None, None, axis)))
+    return _hash_fn(mesh, axis)(inputs)
 
 
 def sharded_tree_step(mesh: Mesh, hashes: jax.Array, balances: jax.Array,
@@ -64,19 +70,57 @@ def sharded_tree_step(mesh: Mesh, hashes: jax.Array, balances: jax.Array,
     return new_hashes, sums
 
 
-def sharded_tree_reduce(mesh: Mesh, leaf_hashes, leaf_balances, axis="shard"):
-    """Full log-depth reduction to the root on a sharded mesh."""
-    nd = mesh.devices.size
-    h, b = leaf_hashes, leaf_balances
+def tree_reduce_levels(hashes: jax.Array, balances: jax.Array):
+    """Full log-depth Merkle-sum reduction inside ONE compiled graph.
 
-    step = jax.jit(
-        lambda hh, bb: sharded_tree_step(mesh, hh, bb, axis),
+    Shape-preserving trick: every level pairs the valid prefix (stride-2
+    slices over the FULL width), compacts results into the front half and
+    zero-pads the tail, so the carry keeps a constant shape and all
+    log2(N) levels run under a single ``lax.scan`` — one XLA compile total
+    (the reference's rayon loop `build_tree.rs:54-78` recurses on halved
+    vectors instead). The wasted tail hashes cost N/2·log N vs N total —
+    acceptable on-device; the host/production builders compact for real.
+
+    hashes: (16, N); balances: (16, C, N), N a power of two.
+    Returns ((16, 1), (16, C, 1)) root hash + root balance sums.
+    """
+    n = hashes.shape[-1]
+    c = balances.shape[1]
+    half, rest = n // 2, n - n // 2
+
+    def level(carry, _):
+        h, b = carry
+        left_h, right_h = h[:, 0::2], h[:, 1::2]
+        left_b, right_b = b[:, :, 0::2], b[:, :, 1::2]
+        sums = FJ.add_mod(left_b, right_b)
+        parts = [sums[:, i, :] for i in range(c)] + [left_h, right_h]
+        new_h = poseidon.hash_batch(jnp.stack(parts, axis=0))
+        h = jnp.concatenate([new_h, jnp.zeros_like(h[:, :rest])], axis=-1)
+        b = jnp.concatenate([sums, jnp.zeros_like(b[:, :, :rest])], axis=-1)
+        return (h, b), None
+
+    levels = (n - 1).bit_length()
+    (h, b), _ = jax.lax.scan(level, (hashes, balances), None, length=levels)
+    return h[:, :1], b[:, :, :1]
+
+
+def sharded_tree_reduce(mesh: Mesh, leaf_hashes, leaf_balances, axis="shard"):
+    """Full log-depth reduction to the root on a sharded mesh.
+
+    Inputs sharded over the leaf axis; output (the root) is replicated.
+    The whole reduction is one jit — XLA inserts the cross-shard halo
+    exchanges for the stride-2 pairings as the level span grows.
+    """
+    return _reduce_fn(mesh, axis)(leaf_hashes, leaf_balances)
+
+
+@functools.lru_cache(maxsize=8)
+def _reduce_fn(mesh: Mesh, axis: str):
+    shard_h = NamedSharding(mesh, PSpec(None, axis))
+    shard_b = NamedSharding(mesh, PSpec(None, None, axis))
+    rep = NamedSharding(mesh, PSpec())
+    return jax.jit(
+        tree_reduce_levels,
+        in_shardings=(shard_h, shard_b),
+        out_shardings=(rep, rep),
     )
-    while h.shape[-1] > 1:
-        if h.shape[-1] <= nd:
-            # too small to shard: replicate and finish locally
-            rep = NamedSharding(mesh, PSpec())
-            h = jax.device_put(h, rep)
-            b = jax.device_put(b, rep)
-        h, b = step(h, b)
-    return h, b
