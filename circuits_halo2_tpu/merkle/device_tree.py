@@ -26,7 +26,6 @@ import numpy as np
 
 from ..ops import field as F
 from ..ops import poseidon_fast as PF
-from ..ops import poseidon_pallas as PPL
 from ..ops import poseidon_pallas2 as PPL2
 
 P = F.FR_MOD
@@ -75,9 +74,9 @@ def _to_mont_dev(raw: jax.Array) -> jax.Array:
     """Raw-value limbs → R15-Montgomery via one REDC with R15² (values may
     exceed p; the congruence fold bounds them into the working envelope)."""
     t = PF._fold(PF._mul_columns(raw, jnp.asarray(_R2_LIMBS), NL, 2 * NL))
-    np15 = jnp.asarray(PPL._NP15)
-    p15 = jnp.asarray(PPL._P15)
-    k15 = jnp.asarray(PPL._K15)
+    np15 = jnp.asarray(PF._NP15)
+    p15 = jnp.asarray(PF._P15)
+    k15 = jnp.asarray(PF._K15)
     m = PF._fold(PF._mul_columns(t[: PF.LOW], np15, PF.LOW, PF.LOW))[: PF.LOW]
     mn = PF._mul_columns(m, p15, PF.LOW, 2 * NL)
     s = PF._fold(PF._fold(t[: 2 * NL] + mn))

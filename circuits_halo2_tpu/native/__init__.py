@@ -23,7 +23,7 @@ import numpy as np
 _HERE = Path(__file__).parent
 _SRC = _HERE / "fieldcc.cpp"
 _LIB = _HERE / "_fieldcc.so"
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None

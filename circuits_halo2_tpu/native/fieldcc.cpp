@@ -678,33 +678,52 @@ static void poseidon_permute(u64 st[2][4]) {
 // primitives semantics): capacity init = (L << 64) in the field; absorb one
 // element per permutation with rate-position addition; squeeze state[0].
 // msgs: n*L*32 canonical LE; out: n*32.
-extern "C" int poseidon_hash_batch(const u8* msgs, size_t n, size_t L, u8* out) {
-    if (!POS_READY) return -1;
-    for (size_t m = 0; m < n; ++m) {
+static void poseidon_hash_range(const u8* msgs, size_t lo, size_t hi, size_t L,
+                                u8* out) {
+    for (size_t m = lo; m < hi; ++m) {
         u64 st[2][4];
         // init: state = [0, capacity], capacity = L << 64 (ConstantLength)
         memset(st[0], 0, 32);
         u64 cap[4] = {0, (u64)L, 0, 0};
         FrM::mul(st[1], cap, FR_R2);
-        size_t i = 0;
-        while (i < L) {
+        for (size_t i = 0; i < L; ++i) {
             u64 v[4];
             load4(v, msgs + (m * L + i) * 32);
             u64 vm[4];
             FrM::mul(vm, v, FR_R2);
             FrM::add(st[0], st[0], vm);
             poseidon_permute(st);
-            ++i;
         }
-        // pad with one zero absorb if L % rate != 0? rate=1: L absorbs done;
-        // halo2 ConstantLength pads to rate multiple with zeros: L multiple
-        // of 1 always — squeeze directly.
+        // rate = 1, so ConstantLength zero-padding never applies; squeeze
+        // state[0] directly (halo2_gadgets primitives semantics).
         const u64 one[4] = {1, 0, 0, 0};
         u64 r[4];
         FrM::mul(r, st[0], one);
         store4(out + m * 32, r);
     }
+}
+
+extern "C" int poseidon_hash_batch(const u8* msgs, size_t n, size_t L, u8* out) {
+    if (!POS_READY) return -1;
+    size_t nthreads = std::thread::hardware_concurrency();
+    if (const char* env = getenv("CIRCUITS_NATIVE_THREADS")) {
+        long v = atol(env);
+        if (v > 0) nthreads = (size_t)v;
+    }
+    if (nthreads < 1) nthreads = 1;
+    if (n < 1024 || nthreads == 1) {
+        poseidon_hash_range(msgs, 0, n, L, out);
+        return 0;
+    }
+    std::vector<std::thread> workers;
+    size_t chunk = (n + nthreads - 1) / nthreads;
+    for (size_t t = 0; t < nthreads; ++t) {
+        size_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        workers.emplace_back(poseidon_hash_range, msgs, lo, hi, L, out);
+    }
+    for (auto& w : workers) w.join();
     return 0;
 }
 
-extern "C" int fieldcc_abi_version() { return 4; }
+extern "C" int fieldcc_abi_version() { return 5; }

@@ -34,7 +34,7 @@ LOW = PF.LOW
 MASK = PF.MASK
 LB = PF.LIMB_BITS
 
-SUB = 8
+SUB = int(os.environ.get("POSEIDON_SUB", "8"))
 LANE = 128
 TILE = SUB * LANE
 
@@ -70,10 +70,39 @@ def _fold(cols: list) -> list:
     return out
 
 
+# Grouped accumulation: redundant limbs are bounded by 2^15 + 2^7 (one fold
+# of < 2^22 columns), so a single product is < (2^15+2^7)^2 ≈ 1.008·2^30 and
+# THREE products (weight 3) sum to < 3.25e9 < 2^32 — they can accumulate in
+# a plain uint32 before one lo/hi split. This removes ~40% of the VPU ops of
+# the previous split-every-product scheme (the kernel is VPU-issue-bound).
+# Doubled off-diagonal squaring terms count as weight 2.
+_GROUP_W = 3
+
+
+def _acc_columns(acc: list, items: dict[int, list]) -> list:
+    """Accumulate per-column (product, weight) lists into acc with grouped
+    lo/hi splits. items: {column k: [(array, weight), ...]}."""
+    for k, plist in items.items():
+        g = None
+        w = 0
+        for p, pw in plist:
+            if g is not None and w + pw > _GROUP_W:
+                acc[k] = acc[k] + (g & MASK)
+                acc[k + 1] = acc[k + 1] + (g >> LB)
+                g, w = None, 0
+            g = p if g is None else g + p
+            w += pw
+        if g is not None:
+            acc[k] = acc[k] + (g & MASK)
+            if k + 1 < len(acc):
+                acc[k + 1] = acc[k + 1] + (g >> LB)
+    return acc
+
+
 def _mul_const(a: list, b: list[int], out_limbs: int) -> list:
     """Column products of limb-list a with an immediate constant b."""
     zero = jnp.zeros_like(a[0])
-    acc = [zero] * out_limbs
+    items: dict[int, list] = {}
     for j, bj in enumerate(b):
         if bj == 0 or j >= out_limbs:
             continue
@@ -81,46 +110,33 @@ def _mul_const(a: list, b: list[int], out_limbs: int) -> list:
             k = i + j
             if k >= out_limbs:
                 break
-            prod = ai * bj
-            acc[k] = acc[k] + (prod & MASK)
-            if k + 1 < out_limbs:
-                acc[k + 1] = acc[k + 1] + (prod >> LB)
-    return acc
+            items.setdefault(k, []).append((ai * bj, 1))
+    return _acc_columns([zero] * (out_limbs + 1), items)[:out_limbs]
 
 
 def _mul_dyn(a: list, b: list) -> list:
     zero = jnp.zeros_like(a[0])
     out_limbs = len(a) + len(b)
-    acc = [zero] * out_limbs
+    items: dict[int, list] = {}
     for j, bj in enumerate(b):
         for i, ai in enumerate(a):
-            prod = ai * bj
-            k = i + j
-            acc[k] = acc[k] + (prod & MASK)
-            acc[k + 1] = acc[k + 1] + (prod >> LB)
-    return acc
+            items.setdefault(i + j, []).append((ai * bj, 1))
+    return _acc_columns([zero] * (out_limbs + 1), items)[:out_limbs]
 
 
 def _sqr_dyn(a: list) -> list:
-    """Squaring: off-diagonal column products a_i·a_j (i<j) are computed
-    once and accumulated twice — 171 VPU multiplies instead of 324 for the
-    general product. Masked parts are added twice (never 2·prod, which
-    could overflow uint32); column sums stay < 2^23."""
+    """Squaring: off-diagonal column products a_i·a_j (i<j) computed once
+    and accumulated at weight 2 (as prod+prod inside a grouped uint32
+    accumulator — a doubled product is < 2^31.1, within the group budget)."""
     zero = jnp.zeros_like(a[0])
     out_limbs = 2 * len(a)
-    acc = [zero] * out_limbs
+    items: dict[int, list] = {}
     for i, ai in enumerate(a):
-        prod = ai * ai
-        acc[2 * i] = acc[2 * i] + (prod & MASK)
-        acc[2 * i + 1] = acc[2 * i + 1] + (prod >> LB)
+        items.setdefault(2 * i, []).append((ai * ai, 1))
         for j in range(i + 1, len(a)):
             prod = ai * a[j]
-            lo = prod & MASK
-            hi = prod >> LB
-            k = i + j
-            acc[k] = acc[k] + lo + lo
-            acc[k + 1] = acc[k + 1] + hi + hi
-    return acc
+            items.setdefault(i + j, []).append((prod + prod, 2))
+    return _acc_columns([zero] * (out_limbs + 1), items)[:out_limbs]
 
 
 def _redc(t: list) -> list:
@@ -164,20 +180,21 @@ def _pow5(x: list) -> list:
 def _mds_row(a: list, b: list, ca: list[int], cb: list[int]) -> list:
     """One MDS output word ca·a + cb·b with LAZY reduction: both constant
     products accumulate into one wide column vector, then a single REDC —
-    2 REDCs per MDS layer instead of 4. REDC(x+y) ≡ REDC(x)+REDC(y) mod p
-    and the redundant-limb bound still holds (columns < 2^24)."""
-    acc = _mul_const(a, ca, 2 * NL)
-    for j, cj in enumerate(cb):
-        if cj == 0:
-            continue
-        for i, bi in enumerate(b):
-            k = i + j
-            if k >= 2 * NL:
-                break
-            prod = bi * cj
-            acc[k] = acc[k] + (prod & MASK)
-            if k + 1 < 2 * NL:
-                acc[k + 1] = acc[k + 1] + (prod >> LB)
+    2 REDCs per MDS layer instead of 4. REDC(x+y) ≡ REDC(x)+REDC(y) mod p.
+    Grouped accumulation over both products: ≤ 24 groups per column keeps
+    column sums < 2^22 (the _fold bound)."""
+    zero = jnp.zeros_like(a[0])
+    items: dict[int, list] = {}
+    for ops, consts in ((a, ca), (b, cb)):
+        for j, cj in enumerate(consts):
+            if cj == 0:
+                continue
+            for i, xi in enumerate(ops):
+                k = i + j
+                if k >= 2 * NL:
+                    break
+                items.setdefault(k, []).append((xi * cj, 1))
+    acc = _acc_columns([zero] * (2 * NL + 1), items)[: 2 * NL]
     return _redc(_fold(acc))
 
 
@@ -251,21 +268,68 @@ def permute_tiles(s0: jax.Array, s1: jax.Array):
     )(rc, s0, s1)
 
 
+def _sponge_kernel(length: int, rc_ref, x_ref, out_ref):
+    """Full ConstantLength<length> sponge in one kernel: absorb each message
+    word into s0 and permute, state resident in vregs throughout (no HBM
+    roundtrips between the L permutations)."""
+
+    def rc_limbs(r, word):
+        return [rc_ref[r, word, i] for i in range(NL)]
+
+    def add_rc(x, r, word):
+        rc = rc_limbs(r, word)
+        return _fold([xi + ri for xi, ri in zip(x, rc)])[:NL]
+
+    def full_round(r, state):
+        s0, s1 = state
+        s0 = _pow5(add_rc(s0, r, 0))
+        s1 = _pow5(add_rc(s1, r, 1))
+        return _mds_layer(s0, s1)
+
+    def partial_round(r, state):
+        s0, s1 = state
+        s0 = _pow5(add_rc(s0, r, 0))
+        s1 = add_rc(s1, r, 1)
+        return _mds_layer(s0, s1)
+
+    cap_int = (length << 64) * PF.R15 % P
+    zero = jnp.zeros_like(x_ref[0, 0])
+    s0 = [zero] * NL
+    s1 = [zero + c for c in _limbs_of(cap_int, NL)]
+    for w in range(length):
+        s0 = _fold([a + x_ref[w, i] for i, a in enumerate(s0)])[:NL]
+        state = (s0, s1)
+        state = jax.lax.fori_loop(0, 4, full_round, state)
+        state = jax.lax.fori_loop(4, 60, partial_round, state)
+        state = jax.lax.fori_loop(60, 64, full_round, state)
+        s0, s1 = state
+    for i in range(NL):
+        out_ref[i] = s0[i]
+
+
 def hash_batch_pallas2(inputs: jax.Array) -> jax.Array:
     """(L, NL, N) fat limbs, N % TILE == 0 → (NL, N) digests."""
     length, _, n = inputs.shape
     m = n // LANE
     x = inputs.reshape(length, NL, m, LANE)
-    s0 = jnp.zeros((NL, m, LANE), jnp.uint32)
-    cap_int = (length << 64) * PF.R15 % P
-    cap = jnp.asarray(
-        np.array(_limbs_of(cap_int, NL), dtype=np.uint32).reshape(NL, 1, 1)
-    )
-    s1 = jnp.broadcast_to(cap, (NL, m, LANE)).astype(jnp.uint32)
-    for i in range(length):
-        s0 = _host_add(s0, x[i])
-        s0, s1 = permute_tiles(s0, s1)
-    return s0.reshape(NL, n)
+    grid = (m // SUB,)
+    rc = jnp.asarray(_RC)
+    out = pl.pallas_call(
+        functools.partial(_sponge_kernel, length),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((64, 2, NL), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (length, NL, SUB, LANE), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((NL, m, LANE), jnp.uint32),
+        interpret=_INTERPRET,
+    )(rc, x)
+    return out.reshape(NL, n)
 
 
 @jax.jit

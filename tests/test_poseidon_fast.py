@@ -38,17 +38,6 @@ def test_fast_limb_roundtrip():
     not __import__("os").environ.get("CIRCUITS_TPU_SLOW"),
     reason="pallas interpret mode is slow on CPU; run with CIRCUITS_TPU_SLOW=1",
 )
-def test_pallas_kernel_matches_host():
-    from circuits_halo2_tpu.ops import poseidon_pallas as PP
-
-    msgs = _msgs(3, 2)
-    assert PP.hash_many_pallas(msgs) == [P.hash_n(m) for m in msgs]
-
-
-@pytest.mark.skipif(
-    not __import__("os").environ.get("CIRCUITS_TPU_SLOW"),
-    reason="pallas interpret mode is slow on CPU; run with CIRCUITS_TPU_SLOW=1",
-)
 def test_pallas2_kernel_matches_host():
     """Production per-limb kernel (v2): leaf (L=3) and middle (L=4) sponge
     lengths, including the lazy-MDS/squaring fast paths, must match the
