@@ -530,7 +530,13 @@ def msm_pippenger_device(points, scalar_rows):
     nmsm = 1 << (max(1, len(scalar_rows)) - 1).bit_length()
     rows = list(scalar_rows) + [[0]] * (nmsm - len(scalar_rows))
     digits = _scalars_to_digits(rows, n)
-    acc = _pippenger_device(xs, ys, valid, jnp.asarray(digits), n, nmsm)
+    mesh = _active_mesh(n)
+    if mesh is not None:
+        from ..parallel import msm_sharded as _MSh
+
+        acc = _MSh.msm_sharded_device(mesh, xs, ys, valid, jnp.asarray(digits))
+    else:
+        acc = _pippenger_device(xs, ys, valid, jnp.asarray(digits), n, nmsm)
     ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
     return [
         jac_to_affine_host((ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1]))
@@ -587,12 +593,39 @@ def msm_commit_dev(points, scal_mont):
     if nmsm > b:
         pad = jnp.zeros((16, nmsm - b) + scal_mont.shape[2:], jnp.uint32)
         scal_mont = jnp.concatenate([scal_mont, pad], axis=1)
-    acc = _commit_dev(xs, ys, valid, scal_mont, n, nmsm)
+    mesh = _active_mesh(n)
+    if mesh is not None:
+        from ..parallel import msm_sharded as _MSh
+
+        m = int(scal_mont.shape[2])
+        if m < n:
+            padn = jnp.zeros((16, nmsm, n - m), jnp.uint32)
+            scal_mont = jnp.concatenate([scal_mont, padn], axis=2)
+        acc = _MSh.commit_sharded_device(mesh, xs, ys, valid, scal_mont)
+    else:
+        acc = _commit_dev(xs, ys, valid, scal_mont, n, nmsm)
     ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
     return [
         jac_to_affine_host((ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1]))
         for i in range(b)
     ]
+
+
+def _active_mesh(n: int):
+    """The prover-sharding mesh for an n-lane MSM, or None.
+
+    Requires n divisible by the mesh size and large enough that each shard
+    keeps the ≥256-lane chunked-scan minimum (parallel/auto policy decides
+    whether a mesh exists at all)."""
+    from ..parallel import auto as _auto
+
+    mesh = _auto.get_mesh()
+    if mesh is None:
+        return None
+    nd = mesh.devices.size
+    if n % nd or n // nd < 256:
+        return None
+    return mesh
 
 
 def _device_enabled() -> bool:

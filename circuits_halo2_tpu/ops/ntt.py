@@ -221,14 +221,51 @@ def _ntt_device(a: jax.Array, n: int, omega: int) -> jax.Array:
     return _ntt_core(a, n, omega)
 
 
+# Minimum size to shard a transform over the mesh: below this, the
+# all_to_all + shard bookkeeping costs more than one device just doing it.
+SHARD_THRESHOLD = int(os.environ.get("CIRCUITS_NTT_SHARD_MIN", 1 << 12))
+
+
+def _shard_mesh(n: int):
+    from ..parallel import auto as _auto
+
+    mesh = _auto.get_mesh()
+    if mesh is None or n < SHARD_THRESHOLD:
+        return None
+    nd = mesh.devices.size
+    # four-step needs n2 (≥ sqrt(n)) divisible by the mesh
+    if n < nd * nd:
+        return None
+    return mesh
+
+
 def ntt(a: jax.Array, omega: int) -> jax.Array:
-    """Device NTT on a (16, *batch, n) Montgomery limb tensor (last axis)."""
-    return _ntt_device(a, int(a.shape[-1]), omega)
+    """Device NTT on a (16, *batch, n) Montgomery limb tensor (last axis).
+
+    Shards the transform over the active mesh (parallel/ntt_sharded
+    four-step, one all_to_all) when one is configured and n is large."""
+    n = int(a.shape[-1])
+    mesh = _shard_mesh(n)
+    if mesh is not None:
+        from ..parallel import ntt_sharded as _NS
+
+        return _NS.ntt_sharded_batched(mesh, a, omega)
+    return _ntt_device(a, n, omega)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _intt_scale(res: jax.Array, n: int) -> jax.Array:
+    c = jnp.asarray(FJ.FR.const(F.fr_inv(n))).reshape((16,) + (1,) * (res.ndim - 1))
+    return FJ.mont_mul(res, c)
 
 
 def intt(a: jax.Array, omega: int) -> jax.Array:
     """Inverse device NTT (includes the n^{-1} scale)."""
     n = int(a.shape[-1])
+    mesh = _shard_mesh(n)
+    if mesh is not None:
+        from ..parallel import ntt_sharded as _NS
+
+        return _intt_scale(_NS.ntt_sharded_batched(mesh, a, F.fr_inv(omega)), n)
     res = _ntt_device(a, n, F.fr_inv(omega))
-    c = jnp.asarray(FJ.FR.const(F.fr_inv(n))).reshape((16,) + (1,) * (res.ndim - 1))
-    return FJ.mont_mul(res, c)
+    return _intt_scale(res, n)

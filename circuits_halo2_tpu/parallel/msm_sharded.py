@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from ..ops import field as F
+from ..ops import field_jax as FJ
 from ..ops import msm as M
 
 
@@ -64,6 +65,55 @@ def msm_sharded_device(mesh: Mesh, xs, ys, valid, digits, axis: str = "shard"):
     n divisible by the mesh size. Returns a (16, B) Jacobian triple
     (replicated)."""
     return _sharded_pippenger(mesh, axis)(xs, ys, valid, digits)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_commit(mesh: Mesh, axis: str):
+    """Sharded analogue of ops/msm._commit_dev: Montgomery scalar columns →
+    local digit extraction → local Pippenger → all_gather + Jacobian fold.
+    This is the prover's commitment seam (every advice/lookup/grand-product/
+    quotient commitment) running over the mesh."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            PSpec(None, axis),
+            PSpec(None, axis),
+            PSpec(axis),
+            PSpec(None, None, axis),
+        ),
+        out_specs=(PSpec(None, None), PSpec(None, None), PSpec(None, None)),
+        check_vma=False,
+    )
+    def _run(xs_l, ys_l, valid_l, scal_l):
+        one_plain = jnp.asarray(FJ.FR.const(1, mont=False)).reshape(16, 1, 1)
+        canon = FJ.mont_mul(scal_l, one_plain)  # exact 16-bit limbs < p
+        lo = canon & 0xFF
+        hi = canon >> 8
+        digits = jnp.stack([lo, hi], axis=1).reshape((M.NWIN,) + canon.shape[1:])
+        digits = jnp.moveaxis(digits, 0, 1).astype(jnp.int32)  # (B, NWIN, nloc)
+        part = M._pippenger_core(xs_l, ys_l, valid_l, digits)
+        g = [
+            jnp.moveaxis(jax.lax.all_gather(c, axis, tiled=False), 0, -1)
+            for c in part
+        ]
+        out = M._tree_sum_last(tuple(g))
+        return tuple(c[..., 0] for c in out)
+
+    return jax.jit(_run)
+
+
+def commit_sharded_device(mesh: Mesh, xs, ys, valid, scal_mont, axis: str = "shard"):
+    """xs, ys (16, n); valid (n,); scal_mont (16, B, n) Montgomery columns
+    (pre-padded to the base lane count n, n % mesh size == 0). Returns a
+    (16, B) Jacobian triple (replicated)."""
+    shard2 = NamedSharding(mesh, PSpec(None, axis))
+    xs = jax.device_put(xs, shard2)
+    ys = jax.device_put(ys, shard2)
+    valid = jax.device_put(valid, NamedSharding(mesh, PSpec(axis)))
+    scal_mont = jax.device_put(scal_mont, NamedSharding(mesh, PSpec(None, None, axis)))
+    return _sharded_commit(mesh, axis)(xs, ys, valid, scal_mont)
 
 
 def msm_sharded(mesh: Mesh, points, scalar_rows, axis: str = "shard"):

@@ -117,6 +117,59 @@ def _four_step(mesh: Mesh, axis: str, n1: int, n2: int, omega: int):
     return jax.jit(_run)
 
 
+def ntt_sharded_batched(mesh: Mesh, a: jax.Array, omega: int, axis: str = "shard"):
+    """Four-step DFT of a (16, *batch, n) Montgomery limb tensor over the
+    mesh — the prover-facing entry (ops/ntt routes here when a mesh is
+    active and the transform is large enough to shard)."""
+    shape = a.shape
+    n = int(shape[-1])
+    ndev = mesh.devices.size
+    logn = n.bit_length() - 1
+    log_n2 = max((logn + 1) // 2, (ndev - 1).bit_length())
+    n2 = 1 << log_n2
+    n1 = n // n2
+    assert n1 * n2 == n and n2 % ndev == 0, (n1, n2, ndev)
+    b = 1
+    for d in shape[1:-1]:
+        b *= int(d)
+
+    mat = jax.device_put(
+        a.reshape(16, b, n1, n2), NamedSharding(mesh, PSpec(None, None, None, axis))
+    )
+    tw = jax.device_put(
+        jnp.asarray(_twiddle_matrix(n1, n2, omega)),
+        NamedSharding(mesh, PSpec(None, None, axis)),
+    )
+    out = _four_step_batched(mesh, axis, n1, n2, omega)(mat, tw)
+    return out.reshape(shape)
+
+
+@functools.lru_cache(maxsize=16)
+def _four_step_batched(mesh: Mesh, axis: str, n1: int, n2: int, omega: int):
+    """Batched variant of _four_step: operand (16, B, n1, n2), j2 sharded."""
+    omega_n1 = F.fr_pow(omega, n1)
+    omega_n2 = F.fr_pow(omega, n2)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(PSpec(None, None, None, axis), PSpec(None, None, axis)),
+        out_specs=PSpec(None, None, None, axis),
+        check_vma=False,
+    )
+    def _run(local, tw_local):
+        # local: (16, B, n1, n2/ndev)
+        x = jnp.swapaxes(local, 2, 3)           # (16, B, n2loc, n1)
+        x = NTT._ntt_core(x, n1, omega_n2)       # step 1
+        x = jnp.swapaxes(x, 2, 3)                # (16, B, n1, n2loc)
+        x = FJ.mont_mul(x, tw_local[:, None])    # step 2
+        x = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=3, tiled=True)
+        x = NTT._ntt_core(x, n2, omega_n1)       # step 4: (16, B, n1/ndev, n2)
+        return jnp.swapaxes(x, 2, 3)             # (16, B, n2, n1loc)
+
+    return jax.jit(_run)
+
+
 def ntt_sharded_host(mesh: Mesh, values: list[int], omega: int) -> list[int]:
     """Host ints in/out convenience wrapper (tests)."""
     a = jnp.asarray(FJ.ints_to_limbs([(v << 256) % P for v in values]))

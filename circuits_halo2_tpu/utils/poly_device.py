@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax._src import core as _core  # trace_state_clean
+
 from ..ops import field as F
 from ..ops import field_jax as FJ
 from ..ops import ntt as NTT
@@ -228,10 +230,19 @@ class Domain:
 
     # -- point evaluation ---------------------------------------------------
 
-    @functools.cached_property
+    _omega_pows_cache: jax.Array | None = None
+
+    @property
     def omega_pows(self) -> jax.Array:
-        """(16, n) powers of ω (Montgomery)."""
-        return powers_dev(self.omega, self.n)
+        """(16, n) powers of ω (Montgomery). Trace-safe caching: a value
+        computed while tracing (DynamicJaxprTracer) is returned uncached —
+        caching it would leak the tracer into later traces."""
+        if self._omega_pows_cache is None:
+            val = powers_dev(self.omega, self.n)
+            if not _core.trace_state_clean():
+                return val
+            self._omega_pows_cache = val
+        return self._omega_pows_cache
 
     def lagrange_eval_weights(self, point: int) -> jax.Array:
         """Barycentric weights w_i = (x^n-1)/n · ω^i/(x-ω^i) as (16, n).
@@ -298,13 +309,21 @@ class Domain:
         cached DynamicJaxprTracer would leak between traces)."""
         return FJ.FR.const(value)
 
-    @functools.cached_property
+    _x_ext_cache: jax.Array | None = None
+
+    @property
     def x_ext(self) -> jax.Array:
         """Identity polynomial X on the coset extended grid: (16, n_ext)
-        Montgomery tensor with lane i = g·ω_ext^i."""
-        pw = powers_dev(self.omega_ext, self.n_ext)
-        g = jnp.asarray(FJ.FR.const(COSET_GEN))
-        return FJ.mont_mul(pw, g)
+        Montgomery tensor with lane i = g·ω_ext^i. Trace-safe caching (see
+        omega_pows)."""
+        if self._x_ext_cache is None:
+            pw = powers_dev(self.omega_ext, self.n_ext)
+            g = jnp.asarray(FJ.FR.const(COSET_GEN))
+            val = FJ.mont_mul(pw, g)
+            if not _core.trace_state_clean():
+                return val
+            self._x_ext_cache = val
+        return self._x_ext_cache
 
 
 @functools.lru_cache(maxsize=None)
