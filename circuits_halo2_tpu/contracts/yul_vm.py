@@ -182,22 +182,56 @@ class _Leave(Exception):
     pass
 
 
+# Per-builtin EVM gas schedule (Shanghai). Stack traffic (PUSH/DUP/SWAP) is
+# approximated by charging GAS_VERYLOW for every const/var operand evaluation
+# — an AST interpreter cannot see the compiler's exact stack schedule, but
+# the approximation is applied identically to every contract run in this VM,
+# so RELATIVE comparisons (our generated verifier vs the reference-generated
+# one on the same proof) are meaningful; absolute figures are estimates.
+GAS_VERYLOW = 3
+GAS_LOW = 5
+GAS_MID = 8
+_GAS_TABLE = {
+    "add": 3, "sub": 3, "lt": 3, "gt": 3, "slt": 3, "sgt": 3, "eq": 3,
+    "and": 3, "or": 3, "xor": 3, "not": 3, "shl": 3, "shr": 3, "sar": 3,
+    "byte": 3, "iszero": 3, "pop": 2, "calldataload": 3,
+    "mul": 5, "div": 5, "sdiv": 5, "mod": 5, "smod": 5, "signextend": 5,
+    "addmod": 8, "mulmod": 8, "jump": 8,
+    "mload": 3, "mstore": 3, "mstore8": 3,
+    "gas": 2, "callvalue": 2, "calldatasize": 2, "returndatasize": 2,
+}
+
+
 class YulVM:
     def __init__(self, calldata: bytes, constants: dict | None = None):
         self.calldata = calldata
         self.memory = bytearray(1 << 16)
         self.functions: dict[str, tuple] = {}
         self.constants = dict(constants or {})
-        self.gas_used_approx = 0
+        self.gas_used = 0
+        self._mem_words = 0
+
+    # -- gas ------------------------------------------------------------
+
+    def _touch(self, end: int) -> None:
+        """Charge quadratic memory-expansion gas up to byte offset ``end``."""
+        words = (end + 31) // 32
+        if words > self._mem_words:
+            new = 3 * words + words * words // 512
+            old = 3 * self._mem_words + self._mem_words * self._mem_words // 512
+            self.gas_used += new - old
+            self._mem_words = words
 
     # -- memory helpers -----------------------------------------------------
 
     def mload(self, ofs: int) -> int:
         self._grow(ofs + 32)
+        self._touch(ofs + 32)
         return int.from_bytes(self.memory[ofs : ofs + 32], "big")
 
     def mstore(self, ofs: int, value: int):
         self._grow(ofs + 32)
+        self._touch(ofs + 32)
         self.memory[ofs : ofs + 32] = (value & WORD).to_bytes(32, "big")
 
     def _grow(self, size: int):
@@ -210,8 +244,30 @@ class YulVM:
 
     # -- precompiles --------------------------------------------------------
 
+    def _precompile_gas(self, addr: int, data: bytes, in_size: int) -> int:
+        if addr == 0x05:  # modexp, EIP-2565
+            blen = int.from_bytes(data[0:32], "big")
+            elen = int.from_bytes(data[32:64], "big")
+            mlen = int.from_bytes(data[64:96], "big")
+            words = (max(blen, mlen) + 7) // 8
+            mult = words * words
+            exp_head = int.from_bytes(data[96 + blen : 96 + blen + min(32, elen)], "big")
+            iters = max(1, (8 * max(0, elen - 32)) + max(0, exp_head.bit_length() - 1))
+            return max(200, mult * iters // 3)
+        if addr == 0x06:
+            return 150  # ecadd (EIP-1108)
+        if addr == 0x07:
+            return 6000  # ecmul
+        if addr == 0x08:
+            return 45000 + 34000 * (in_size // 192)  # pairing
+        return 0
+
     def staticcall(self, addr, in_ofs, in_size, out_ofs, out_size) -> int:
+        self._touch(in_ofs + in_size)
+        self._touch(out_ofs + out_size)
+        self.gas_used += 100  # warm account access (EIP-2929)
         data = bytes(self.memory[in_ofs : in_ofs + in_size])
+        self.gas_used += self._precompile_gas(addr, data, in_size)
         if addr == 0x05:  # modexp
             blen = int.from_bytes(data[0:32], "big")
             elen = int.from_bytes(data[32:64], "big")
@@ -349,8 +405,10 @@ class YulVM:
     def eval(self, expr, env, multi=False):
         kind = expr[0]
         if kind == "const":
+            self.gas_used += GAS_VERYLOW  # PUSH
             return expr[1]
         if kind == "var":
+            self.gas_used += GAS_VERYLOW  # DUP/SWAP traffic
             if expr[1] == "true":
                 return 1
             if expr[1] == "false":
@@ -362,6 +420,7 @@ class YulVM:
 
     def call(self, name, a, multi=False):
         M = WORD
+        self.gas_used += _GAS_TABLE.get(name, 0)
         if name == "add":
             return (a[0] + a[1]) & M
         if name == "sub":
@@ -403,17 +462,19 @@ class YulVM:
             return None
         if name == "mstore8":
             self._grow(a[0] + 1)
+            self._touch(a[0] + 1)
             self.memory[a[0]] = a[1] & 0xFF
             return None
         if name == "calldataload":
             return self.calldataload(a[0])
         if name == "keccak256":
             self._grow(a[0] + a[1])
+            self._touch(a[0] + a[1])
+            self.gas_used += 30 + 6 * ((a[1] + 31) // 32)
             return int.from_bytes(
                 keccak256(bytes(self.memory[a[0] : a[0] + a[1]])), "big"
             )
         if name == "staticcall":
-            self.gas_used_approx += 3000
             return self.staticcall(a[1], a[2], a[3], a[4], a[5])
         if name == "gas":
             return 10**9
@@ -424,6 +485,7 @@ class YulVM:
         if name == "return":
             raise Return(bytes(self.memory[a[0] : a[0] + a[1]]))
         if name in self.functions:
+            self.gas_used += 2 * GAS_MID + 1  # JUMP in/out + JUMPDEST
             _, _, params, rets, body = self.functions[name]
             scope = dict(self.constants)
             scope.update({p: v for p, v in zip(params, a)})
@@ -488,15 +550,99 @@ def contract_constants(sol_source: str) -> dict[str, int]:
     }
 
 
-def run_verifier(sol_source: str, proof: bytes, instances: list[int]) -> bool:
+def intrinsic_gas(calldata: bytes) -> int:
+    """21000 base + EIP-2028 calldata cost."""
+    nz = sum(1 for b in calldata if b)
+    return 21000 + 16 * nz + 4 * (len(calldata) - nz)
+
+
+def run_verifier(
+    sol_source: str, proof: bytes, instances: list[int]
+) -> bool:
     """Execute a verifier contract's assembly on (proof, instances)."""
+    ok, _ = run_verifier_gas(sol_source, proof, instances)
+    return ok
+
+
+def run_verifier_gas(
+    sol_source: str, proof: bytes, instances: list[int]
+) -> tuple[bool, int]:
+    """Like run_verifier, also returning estimated transaction gas
+    (intrinsic + execution under the VM's gas model — see _GAS_TABLE note;
+    the reference prints the same figure from revm,
+    `gen_inclusion_proof.rs:87-92`)."""
     asm = extract_assembly(sol_source)
     tokens = tokenize(asm)
     block = Parser(tokens).parse_block()
     consts = contract_constants(sol_source)
-    vm = YulVM(encode_verify_calldata(proof, instances), constants=consts)
+    calldata = encode_verify_calldata(proof, instances)
+    vm = YulVM(calldata, constants=consts)
+    vm.gas_used += intrinsic_gas(calldata)
     try:
         out = vm.run(block, env=dict(consts))
     except Revert:
-        return False
-    return len(out) == 32 and int.from_bytes(out, "big") == 1
+        return False, vm.gas_used
+    ok = len(out) == 32 and int.from_bytes(out, "big") == 1
+    return ok, vm.gas_used
+
+
+# ---------------------------------------------------------------------------
+# Code-size estimation (no solc in this environment)
+# ---------------------------------------------------------------------------
+
+def _size_expr(expr) -> int:
+    kind = expr[0]
+    if kind == "const":
+        v = expr[1]
+        return 1 + max(1, (v.bit_length() + 7) // 8)  # PUSHn + immediate
+    if kind == "var":
+        return 1  # DUPn
+    _, name, args = expr
+    n = sum(_size_expr(a) for a in args)
+    return n + (1 if name in _GAS_TABLE else 4)  # builtin op vs call seq
+
+
+def _size_block(block) -> int:
+    assert block[0] == "block"
+    return sum(_size_stmt(st) for st in block[1])
+
+
+def _size_stmt(stmt) -> int:
+    kind = stmt[0]
+    if kind in ("let", "assign"):
+        names = stmt[1]
+        val = stmt[2]
+        return (
+            (_size_expr(val) if val is not None else len(names))
+            + len(names)
+        )
+    if kind == "expr":
+        return _size_expr(stmt[1])
+    if kind == "if":
+        return _size_expr(stmt[1]) + 4 + _size_block(stmt[2])
+    if kind == "for":
+        return (
+            _size_block(stmt[1]) + _size_expr(stmt[2]) + 6
+            + _size_block(stmt[3]) + _size_block(stmt[4])
+        )
+    if kind == "function":
+        return 3 + _size_block(stmt[4])  # JUMPDEST + return jump
+    if kind == "block":
+        return _size_block(stmt)
+    if kind in ("break", "continue", "leave"):
+        return 4
+    return 1
+
+
+def estimate_code_size(sol_source: str) -> int:
+    """Estimated runtime bytecode size of a verifier contract's assembly
+    block — a deterministic instruction-count model (PUSH immediates, one
+    byte per op, jump sequences for control flow). No solc exists in this
+    environment, so absolute accuracy is NOT claimed; the estimator is
+    applied identically to our generated verifier and the reference-
+    generated one, making relative comparisons meaningful. Reference prints
+    the real figure via compile_solidity (gen_inclusion_verifier.rs:39-40).
+    """
+    asm = extract_assembly(sol_source)
+    block = Parser(tokenize(asm)).parse_block()
+    return _size_block(block)

@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from circuits_halo2_tpu.contracts.yul_vm import run_verifier
+from circuits_halo2_tpu.contracts.yul_vm import run_verifier_gas
 from circuits_halo2_tpu.merkle.mst import MerkleSumTree
 from circuits_halo2_tpu.models.mst_inclusion import MstInclusionCircuit
 from circuits_halo2_tpu.utils import pipeline
@@ -61,12 +61,15 @@ def main():
 
     if os.path.exists(REFERENCE_VERIFIER):
         sol = open(REFERENCE_VERIFIER).read()
-        ok = run_verifier(
+        ok, gas = run_verifier_gas(
             sol,
             bytes.fromhex(calldata.proof[2:]),
             [int(v, 16) for v in calldata.public_inputs],
         )
+        # reference prints "Gas cost of verifying ...: {gas}"
+        # (zk_prover/examples/gen_inclusion_proof.rs:87-92)
         print(f"reference InclusionVerifier.sol accepts the proof: {ok}")
+        print(f"Gas cost of verifying the inclusion proof: {gas} (VM estimate)")
         assert ok
 
 

@@ -36,6 +36,15 @@ def main():
     with open(out, "w") as f:
         f.write(source)
     print(f"Saved {out} ({len(source)} bytes of source)")
+    # reference prints the compiled creation-code size
+    # (gen_inclusion_verifier.rs:39-40); no solc in this environment, so
+    # report the deterministic instruction-count estimate instead.
+    from circuits_halo2_tpu.contracts.yul_vm import estimate_code_size
+
+    print(
+        "Estimated verifier runtime code size: "
+        f"{estimate_code_size(source)} bytes (instruction-count model)"
+    )
 
 
 if __name__ == "__main__":
