@@ -257,7 +257,8 @@ def prove_chain(artifacts, csv_paths: list[str], user_index: int) -> Incremental
 
 def verify_chain(artifacts, chain: IncrementalChainProof) -> bool:
     """Verify every step proof and the state chaining between steps
-    (the RecursiveSNARK::verify equivalent)."""
+    (the RecursiveSNARK::verify equivalent). One pairing per step; see
+    ``verify_chain_compressed`` for the batched single-pairing check."""
     from ..utils import pipeline
 
     prev_user, prev_liab = 0, 0
@@ -270,4 +271,70 @@ def verify_chain(artifacts, chain: IncrementalChainProof) -> bool:
         prev_user, prev_liab = inst[2], inst[3]
     return (
         prev_user == chain.user_states[-1] and prev_liab == chain.liab_states[-1]
+    )
+
+
+def verify_chain_compressed(artifacts, chain: IncrementalChainProof) -> bool:
+    """Chain verification with ONE pairing check, independent of the number
+    of rounds — the compression analogue of the reference's CompressedSNARK
+    step (`nova_incremental_verifier.rs:199-226`).
+
+    Every step's transcript is replayed (cheap host hashing) to produce a
+    KZG accumulator pair (acc_i, w'_i) satisfying
+    e(acc_i, G2) == e(w'_i, s·G2) iff step i is valid. The pairs are
+    combined with Fiat–Shamir randomizers r_i (Blake2b over all proofs and
+    instances, so a prover cannot choose proofs after seeing r):
+
+        e(Σ r_i·acc_i, G2) == e(Σ r_i·w'_i, s·G2)
+
+    which by bilinearity + Schwartz–Zippel holds for random r iff every
+    individual equation holds. Divergence from the reference, documented:
+    Nova folding also compresses proof SIZE to O(1); here the chain proof
+    stays O(N) bytes while the dominant verification cost (the pairing)
+    becomes O(1).
+    """
+    import hashlib
+
+    from ..models.verifier import verify as _verify
+    from ..ops import curve as C
+    from ..ops import pairing as PAIR
+    from ..utils.transcript import Blake2bTranscript
+
+    params, vk = artifacts.params, artifacts.vk
+
+    # Fiat–Shamir randomizers bound to the whole chain
+    h = hashlib.blake2b(b"circuits-halo2-tpu-chain-batch")
+    for step in chain.steps:
+        h.update(step.proof)
+        for col in step.instances:
+            for v in col:
+                h.update(int(v).to_bytes(32, "little"))
+    seed = h.digest()
+
+    prev_user, prev_liab = 0, 0
+    acc_total, wp_total = None, None
+    for i, step in enumerate(chain.steps):
+        inst = step.instances[0]
+        if inst[0] != prev_user or inst[1] != prev_liab:
+            return False
+        try:
+            ok, pair = _verify(
+                params, vk, step.instances, step.proof,
+                transcript_cls=Blake2bTranscript, defer_pairing=True,
+            )
+        except (ValueError, AssertionError, KeyError):
+            return False
+        if not ok:
+            return False
+        r = int.from_bytes(
+            hashlib.blake2b(seed + i.to_bytes(8, "little")).digest(), "little"
+        ) % FR_MOD
+        acc_i, wp_i = pair
+        acc_total = C.g1_add(acc_total, C.g1_mul(acc_i, r))
+        wp_total = C.g1_add(wp_total, C.g1_mul(wp_i, r))
+        prev_user, prev_liab = inst[2], inst[3]
+    if prev_user != chain.user_states[-1] or prev_liab != chain.liab_states[-1]:
+        return False
+    return PAIR.pairing_check(
+        [(acc_total, params.g2), (C.g1_neg(wp_total), params.s_g2)]
     )

@@ -89,7 +89,13 @@ def verify(
     proof: bytes,
     transcript_cls=KeccakTranscript,
     vk_digest: int | None = None,
-) -> bool:
+    defer_pairing: bool = False,
+):
+    """Replay the transcript and check the proof.
+
+    Returns bool. With ``defer_pairing=True`` returns
+    ``(True, (acc, w_prime))`` instead of running the final pairing — the
+    KZG accumulator pair for batched verification (see the tail comment)."""
     cs = vk.cs
     n = 1 << vk.k
     omega = vk.omega
@@ -355,6 +361,14 @@ def verify(
     acc = C.g1_add(acc, C.g1_mul(gen, (-r_total) % P))
     acc = C.g1_add(acc, C.g1_mul(w_comm, (-set_data[0]["z_mu"]) % P))
     acc = C.g1_add(acc, C.g1_mul(w_prime_comm, mu))
+
+    if defer_pairing:
+        # KZG accumulator: the proof is valid iff
+        # e(acc, G2) == e(w', s·G2). Callers may batch many accumulators
+        # with a random linear combination into ONE pairing check
+        # (bilinearity: Σ r_i·acc_i pairs against G2, Σ r_i·w'_i against
+        # s·G2) — the verification-compression path for proof chains.
+        return True, (acc, w_prime_comm)
 
     # e(acc, G2) == e(W', s·G2)
     return PAIR.pairing_check(

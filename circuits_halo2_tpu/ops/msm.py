@@ -517,31 +517,54 @@ def _scalars_to_digits(scalar_rows, n: int) -> np.ndarray:
     return out
 
 
+# The bucketed Pippenger materializes (16, B, NWIN, n) planes (sorted point
+# gathers, segmented partial sums); cap B·n per dispatch so peak HBM stays a
+# few GB at k=17 bases (a 2^20 product is ~1.1 GB/plane; the k=17 keygen of
+# 16 batched commitments OOM'd a 16 GB v5e without this).
+BATCH_LANE_BUDGET = int(os.environ.get("CIRCUITS_MSM_LANE_BUDGET", 1 << 20))
+
+
+def _batch_chunk(nmsm: int, n: int) -> int:
+    b = nmsm
+    while b > 1 and b * n > BATCH_LANE_BUDGET:
+        b //= 2
+    return b
+
+
 def msm_pippenger_device(points, scalar_rows):
     """Batched device Pippenger: one shared base set, B scalar vectors.
 
     points: host affine list (length n); scalar_rows: list of B lists of
     host ints (each ≤ n long; short rows are zero-padded). Returns a list of
     B host affine points (or None). Shapes are bucketed (n → power of two
-    ≥ 64, B → power of two) so only a few distinct graphs ever compile.
+    ≥ 64, B → power of two) so only a few distinct graphs ever compile;
+    large batches are processed in memory-capped chunks.
     """
     xs, ys, valid = precompute_bases(points)
     n = int(xs.shape[1])
     nmsm = 1 << (max(1, len(scalar_rows)) - 1).bit_length()
     rows = list(scalar_rows) + [[0]] * (nmsm - len(scalar_rows))
-    digits = _scalars_to_digits(rows, n)
+    chunk_b = _batch_chunk(nmsm, n)
     mesh = _active_mesh(n)
-    if mesh is not None:
-        from ..parallel import msm_sharded as _MSh
+    outs = []
+    for lo in range(0, nmsm, chunk_b):
+        digits = _scalars_to_digits(rows[lo : lo + chunk_b], n)
+        if mesh is not None:
+            from ..parallel import msm_sharded as _MSh
 
-        acc = _MSh.msm_sharded_device(mesh, xs, ys, valid, jnp.asarray(digits))
-    else:
-        acc = _pippenger_device(xs, ys, valid, jnp.asarray(digits), n, nmsm)
-    ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
-    return [
-        jac_to_affine_host((ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1]))
-        for i in range(len(scalar_rows))
-    ]
+            acc = _MSh.msm_sharded_device(mesh, xs, ys, valid, jnp.asarray(digits))
+        else:
+            acc = _pippenger_device(
+                xs, ys, valid, jnp.asarray(digits), n, chunk_b
+            )
+        ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
+        outs.extend(
+            jac_to_affine_host(
+                (ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1])
+            )
+            for i in range(min(chunk_b, len(scalar_rows) - lo))
+        )
+    return outs[: len(scalar_rows)]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "nmsm"))
@@ -593,22 +616,31 @@ def msm_commit_dev(points, scal_mont):
     if nmsm > b:
         pad = jnp.zeros((16, nmsm - b) + scal_mont.shape[2:], jnp.uint32)
         scal_mont = jnp.concatenate([scal_mont, pad], axis=1)
+    chunk_b = _batch_chunk(nmsm, n)
     mesh = _active_mesh(n)
-    if mesh is not None:
-        from ..parallel import msm_sharded as _MSh
+    accs = []
+    for lo in range(0, nmsm, chunk_b):
+        sm = scal_mont[:, lo : lo + chunk_b]
+        if mesh is not None:
+            from ..parallel import msm_sharded as _MSh
 
-        m = int(scal_mont.shape[2])
-        if m < n:
-            padn = jnp.zeros((16, nmsm, n - m), jnp.uint32)
-            scal_mont = jnp.concatenate([scal_mont, padn], axis=2)
-        acc = _MSh.commit_sharded_device(mesh, xs, ys, valid, scal_mont)
-    else:
-        acc = _commit_dev(xs, ys, valid, scal_mont, n, nmsm)
-    ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
-    return [
-        jac_to_affine_host((ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1]))
-        for i in range(b)
-    ]
+            m = int(sm.shape[2])
+            if m < n:
+                padn = jnp.zeros((16, chunk_b, n - m), jnp.uint32)
+                sm = jnp.concatenate([sm, padn], axis=2)
+            accs.append(_MSh.commit_sharded_device(mesh, xs, ys, valid, sm))
+        else:
+            accs.append(_commit_dev(xs, ys, valid, sm, n, chunk_b))
+    out = []
+    for acc in accs:
+        ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
+        out.extend(
+            jac_to_affine_host(
+                (ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1])
+            )
+            for i in range(ax.shape[1])
+        )
+    return out[:b]
 
 
 def _active_mesh(n: int):

@@ -96,6 +96,19 @@ def test_incremental_chain_prove_verify():
     )
     chain = INC.prove_chain(art, STATES, 0)
     assert INC.verify_chain(art, chain)
+    # compressed verification: ONE pairing for the whole chain
+    assert INC.verify_chain_compressed(art, chain)
+    # corrupted proof bytes rejected by the batched pairing
+    import copy
+
+    bad = copy.deepcopy(chain)
+    bad.steps[1] = INC.IncrementalStep(
+        bad.steps[1].proof[:100] + bytes([bad.steps[1].proof[100] ^ 1])
+        + bad.steps[1].proof[101:],
+        bad.steps[1].instances,
+    )
+    assert not INC.verify_chain_compressed(art, bad)
     # broken chaining rejected
     chain.steps[1].instances[0][0] ^= 1
     assert not INC.verify_chain(art, chain)
+    assert not INC.verify_chain_compressed(art, chain)
