@@ -519,9 +519,10 @@ def _scalars_to_digits(scalar_rows, n: int) -> np.ndarray:
 
 # The bucketed Pippenger materializes (16, B, NWIN, n) planes (sorted point
 # gathers, segmented partial sums); cap B·n per dispatch so peak HBM stays a
-# few GB at k=17 bases (a 2^20 product is ~1.1 GB/plane; the k=17 keygen of
-# 16 batched commitments OOM'd a 16 GB v5e without this).
-BATCH_LANE_BUDGET = int(os.environ.get("CIRCUITS_MSM_LANE_BUDGET", 1 << 20))
+# few GB at k=17 bases (the k=17 keygen batching 16 commitments over 2^17
+# bases OOM'd a 16 GB v5e; XLA additionally pads one of the intermediates
+# 8x — see the northstar compile log — so the budget is conservative).
+BATCH_LANE_BUDGET = int(os.environ.get("CIRCUITS_MSM_LANE_BUDGET", 1 << 17))
 
 
 def _batch_chunk(nmsm: int, n: int) -> int:

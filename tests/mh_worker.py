@@ -1,0 +1,77 @@
+"""Multi-host worker for test_multihost.py — run as one of N processes.
+
+Usage: python mh_worker.py <process_id> <num_processes> <coordinator_port>
+
+Initializes jax.distributed over localhost (gloo CPU collectives — the
+DCN stand-in; SURVEY §2c #5), builds a GLOBAL mesh spanning both
+processes' devices, and drives the framework's sharded kernels across the
+process boundary:
+
+  1. data-parallel Poseidon hash batch (no collectives, global sharding)
+  2. log-depth Merkle-sum tree reduce (cross-shard halo exchanges)
+  3. four-step NTT (the all_to_all rides the inter-process link)
+
+Each step is cross-checked against the host reference; prints MH_OK last.
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(
+    f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+
+import numpy as np
+import jax.numpy as jnp
+
+from circuits_halo2_tpu.ops import field as F
+from circuits_halo2_tpu.ops import field_jax as FJ
+from circuits_halo2_tpu.merkle import mst
+from circuits_halo2_tpu.parallel import sharding as sh
+
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+mesh = sh.make_mesh()  # global mesh over all processes' devices
+
+# --- 1+2: sharded leaf hash + tree reduce, cross-checked vs host ----------
+n_leaves, ncur = 16, 2
+vals = [[(i + 1), 10 + i, 20 + i] for i in range(n_leaves)]
+arr = np.zeros((ncur + 1, 16, n_leaves), dtype=np.uint32)
+for j, pre in enumerate(vals):
+    for i, v in enumerate(pre):
+        arr[i, :, j] = FJ.int_to_limbs((v << 256) % F.FR_MOD)
+
+leaf_hashes = sh.sharded_hash_batch(mesh, jnp.asarray(arr))
+balances = jnp.asarray(arr[1:]).transpose(1, 0, 2)
+root_h, _ = sh.sharded_tree_reduce(mesh, leaf_hashes, balances)
+rinv = pow(1 << 256, -1, F.FR_MOD)
+got = FJ.limbs_to_ints(np.asarray(root_h))[0] * rinv % F.FR_MOD
+nodes = [mst.Node.leaf_node_from_preimage(list(p)) for p in vals]
+root, _ = mst.build_merkle_tree_from_leaves(nodes, 4)
+assert got == root.hash, (hex(got), hex(root.hash))
+print(f"proc {pid}: cross-process MST root matches host", flush=True)
+
+# --- 3: four-step NTT with the all_to_all crossing the process boundary ---
+import random
+
+from circuits_halo2_tpu.ops import ntt as NTT
+from circuits_halo2_tpu.parallel import ntt_sharded as NS
+
+prng = random.Random(7)
+n, k = 256, 8
+values = [prng.randrange(F.FR_MOD) for _ in range(n)]
+omega = NTT.omega_for_k(k)
+assert NS.ntt_sharded_host(mesh, values, omega) == NTT.ntt_host(values, omega)
+print(f"proc {pid}: cross-process NTT matches host", flush=True)
+
+print(f"proc {pid}: MH_OK", flush=True)

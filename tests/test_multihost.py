@@ -1,0 +1,56 @@
+"""Multi-host (multi-process) skeleton — SURVEY §2c #5 / VERDICT r1 #9.
+
+Spawns TWO OS processes, each owning 2 virtual CPU devices, joined by
+``jax.distributed.initialize`` over localhost with gloo CPU collectives
+(the DCN stand-in for multi-host TPU). The worker (mh_worker.py) drives
+the framework's sharded hash / tree-reduce / four-step-NTT kernels over
+the GLOBAL 4-device mesh, so every collective (all_gather, all_to_all,
+halo exchanges) crosses the process boundary, and cross-checks against
+host references.
+
+Gated as slow: two cold XLA:CPU processes compile in parallel (~2-4 min).
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+HERE = Path(__file__).parent
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("CIRCUITS_TPU_SLOW"),
+    reason="spawns 2 distributed processes (~minutes); run with CIRCUITS_TPU_SLOW=1",
+)
+
+
+def test_two_process_mesh_sharded_kernels():
+    port = 29741
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(HERE / "mh_worker.py"), str(i), "2", str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "MH_OK" in out, f"proc {i} incomplete:\n{out[-3000:]}"
