@@ -73,12 +73,17 @@ contract Summa {
         AddressOwnershipProof[] memory proofs
     ) public onlyOwner {
         for (uint256 i = 0; i < proofs.length; i++) {
-            bytes32 key = keccak256(
-                abi.encodePacked(proofs[i].cexAddress, proofs[i].chain)
-            );
+            bytes32 key = keccak256(abi.encodePacked(proofs[i].cexAddress));
             require(ownershipProofByAddress[key] == 0, "Address already verified");
             addressOwnershipProofs.push(proofs[i]);
             ownershipProofByAddress[key] = addressOwnershipProofs.length;
+            require(
+                bytes(proofs[i].cexAddress).length != 0 &&
+                    bytes(proofs[i].chain).length != 0 &&
+                    bytes(proofs[i].signature).length != 0 &&
+                    bytes(proofs[i].message).length != 0,
+                "Invalid proof of address ownership"
+            );
         }
         emit AddressOwnershipProofSubmitted(proofs);
     }
@@ -89,14 +94,10 @@ contract Summa {
         Cryptocurrency[] memory cryptocurrencies,
         uint256 timestamp
     ) public onlyOwner {
-        require(rootBalances.length != 0, "Root liabilities sums array should be non-empty");
+        require(mstRoot != 0, "Invalid MST root");
         require(
             cryptocurrencies.length == rootBalances.length,
-            "Root liabilities sums and cryptocurrencies number mismatch"
-        );
-        require(
-            rootBalances.length == config.currenciesCount,
-            "Liability currencies number mismatch"
+            "Root liabilities sums and liabilities number mismatch"
         );
         Commitment storage commitment = commitments[timestamp];
         commitment.mstRoot = mstRoot;
@@ -107,6 +108,10 @@ contract Summa {
                 bytes(cryptocurrencies[i].chain).length != 0 &&
                     bytes(cryptocurrencies[i].name).length != 0,
                 "Invalid cryptocurrency"
+            );
+            require(
+                rootBalances[i] != 0,
+                "All root sums should be greater than zero"
             );
             commitment.rootBalances.push(rootBalances[i]);
             commitment.cryptocurrencies.push(cryptocurrencies[i]);
@@ -132,6 +137,7 @@ contract Summa {
         try inclusionVerifier.verifyProof(proof, publicInputs) returns (bool ok) {
             return ok;
         } catch {
+            require(false, "Invalid inclusion proof");
             return false;
         }
     }

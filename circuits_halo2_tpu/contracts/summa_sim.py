@@ -68,14 +68,25 @@ class SummaContractSim:
     ):
         self._only_owner(sender)
         for proof in proofs:
-            key = keccak256(
-                (proof.cex_address + proof.chain).encode("utf-8")
-            )
+            # dedup key is keccak(cexAddress) alone (Summa.sol:116-120)
+            key = keccak256(proof.cex_address.encode("utf-8"))
             if key in self._ownership_seen:
                 raise ValueError("Address already verified")
             self._ownership_seen.add(key)
             self.address_ownership_proofs.append(proof)
+            if not (
+                proof.cex_address and proof.chain
+                and proof.signature and proof.message
+            ):
+                raise ValueError("Invalid proof of address ownership")
         self.events.append(("AddressOwnershipProofSubmitted", list(proofs)))
+
+    def get_address_ownership_proof(self, address_hash: bytes) -> AddressOwnershipProof:
+        """Summa.sol:70-80 getAddressOwnershipProof."""
+        for proof in self.address_ownership_proofs:
+            if keccak256(proof.cex_address.encode("utf-8")) == address_hash:
+                return proof
+        raise ValueError("Address not verified")
 
     # -- commitments --------------------------------------------------------
 
@@ -88,18 +99,17 @@ class SummaContractSim:
         timestamp: int,
     ):
         self._only_owner(sender)
-        _, currencies_count, _ = self.config
-        if len(root_balances) == 0:
-            raise ValueError("Root liabilities sums array should be non-empty")
+        if mst_root == 0:
+            raise ValueError("Invalid MST root")
         if len(cryptocurrencies) != len(root_balances):
             raise ValueError(
-                "Root liabilities sums and cryptocurrencies number mismatch"
+                "Root liabilities sums and liabilities number mismatch"
             )
-        if len(root_balances) != currencies_count:
-            raise ValueError("Liability currencies number mismatch")
-        for c in cryptocurrencies:
+        for c, bal in zip(cryptocurrencies, root_balances):
             if not c.chain or not c.name:
                 raise ValueError("Invalid cryptocurrency")
+            if bal == 0:
+                raise ValueError("All root sums should be greater than zero")
         self.commitments[timestamp] = Commitment(
             mst_root, list(root_balances), list(cryptocurrencies), timestamp
         )
@@ -121,7 +131,9 @@ class SummaContractSim:
         try:
             return bool(self.verifier(proof, public_inputs))
         except Exception:
-            return False
+            # Summa.sol:211-216: a verifier-level exception is surfaced as a
+            # revert with this message (not a false return)
+            raise ValueError("Invalid inclusion proof") from None
 
     def _only_owner(self, sender: str):
         if sender != self.owner:

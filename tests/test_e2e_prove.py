@@ -6,7 +6,6 @@ import json
 import os
 from pathlib import Path
 
-import pytest
 
 from circuits_halo2_tpu.merkle.mst import MerkleSumTree
 from circuits_halo2_tpu.models.keygen import keygen
@@ -18,10 +17,8 @@ from circuits_halo2_tpu.utils.srs import ParamsKZG
 HERE = Path(__file__).parent
 VK_FIX = json.loads((HERE / "fixtures_vk_inclusion.json").read_text())
 
-pytestmark = pytest.mark.skipif(
-    not os.environ.get("CIRCUITS_TPU_SLOW"),
-    reason="full proving pipeline (~1 min); run with CIRCUITS_TPU_SLOW=1",
-)
+# Ungated (VERDICT r1 #8): the DEFAULT suite must prove end-to-end. One
+# k=11 keygen+prove+verify is ~2.5 min warm on a 4-core CPU host.
 
 
 def test_prove_and_verify_entry_16():
