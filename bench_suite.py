@@ -330,6 +330,25 @@ def main():
         ok = pipeline.full_verifier(art, proof, instances)
         emit("verify_mst_inclusion_k11", time.perf_counter() - t0, "s", {"ok": ok})
 
+    if "throughput" in stages:
+        # sustained multi-user proving (the product workload: one proof per
+        # user, embarrassingly parallel across users — SURVEY §7); steady
+        # state after the cold compile above.
+        users = int(os.environ.get("BENCH_USERS", 8))
+        pipeline.full_prover(art, circuit, instances)  # ensure warm
+        t0 = time.perf_counter()
+        for u in range(users):
+            c = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(u % 16))
+            p = pipeline.full_prover(art, c, c.instances())
+            assert pipeline.full_verifier(art, p, c.instances())
+        dt = time.perf_counter() - t0
+        emit(
+            "prove_throughput_k11",
+            round(users / (dt / 60.0), 2),
+            "proofs/min",
+            {"users": users, "total_s": round(dt, 2), "incl_verify": True},
+        )
+
 
 if __name__ == "__main__":
     main()

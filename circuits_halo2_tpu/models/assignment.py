@@ -98,6 +98,9 @@ class Assignment:
         # copies in final ((column, row), (column, row)) form, in order
         self.copies: list[tuple[tuple[Column, int], tuple[Column, int]]] = []
         self.usable_rows = cs.usable_rows(n)
+        # layout log for the dev-graph-equivalent renderer (models/layout):
+        # (region name, start row, height, used column keys)
+        self.regions_log: list[tuple[str, int, int, list]] = []
 
     def assign_region(self, name: str, fn):
         region = Region(name, self)
@@ -108,6 +111,9 @@ class Assignment:
             start = max(start, self.columns.get(col, 0))
         for col in region.used_columns:
             self.columns[col] = start + region.height
+        self.regions_log.append(
+            (name, start, region.height, sorted(region.used_columns, key=repr))
+        )
 
         for op in region.ops:
             kind = op[0]

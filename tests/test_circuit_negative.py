@@ -106,3 +106,35 @@ def test_swapped_path_index(tree):
     circuit.path_indices = [1 - circuit.path_indices[0]] + circuit.path_indices[1:]
     failures = _prover(circuit).verify()
     assert failures and all(isinstance(f, CopyFailure) for f in failures)
+
+
+def test_layout_rendering():
+    """dev-graph equivalent (`circuits/tests.rs:435-459`): the region log
+    renders to SVG + table; the Poseidon permutation region occupies its
+    documented 36 rows (halo2 Pow5 layout, SURVEY §2b)."""
+    from circuits_halo2_tpu.models.layout import layout_table, render_layout_svg
+    from circuits_halo2_tpu.models.mst_inclusion import (
+        MstInclusionCircuit,
+        compile_circuit,
+    )
+    from circuits_halo2_tpu.merkle.mst import MerkleSumTree
+    from circuits_halo2_tpu.models.assignment import Assignment
+
+    _, cs, config, _ = compile_circuit(4, 2, 8, 11)
+    tree = MerkleSumTree.from_csv(str(CSV / "entry_16.csv"))
+    circuit = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(0))
+    asn = Assignment(cs, 1 << 11, circuit.instances())
+    circuit.synthesize(config, asn)
+
+    names = [name for name, *_ in asn.regions_log]
+    permutes = [r for r in asn.regions_log if r[0] == "permute state"]
+    # 37 rows: offsets 0..36 — the reference layout's last offset is 36
+    # (`circuits/tests.rs:113-115`), i.e. 64 rounds over half-rows + output
+    assert permutes and all(h == 37 for _, _, h, _ in permutes)
+    table = layout_table(asn)
+    assert "permute state" in table and "usable" in table
+    svg = render_layout_svg(asn)
+    assert svg.startswith("<svg") and "permute state" in svg
+    assert all(
+        start + h <= asn.usable_rows for _, start, h, _ in asn.regions_log
+    ), names[:5]
