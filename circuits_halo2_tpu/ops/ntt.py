@@ -208,10 +208,83 @@ def _ntt_core_scan(a: jax.Array, n: int, omega: int) -> jax.Array:
 # worse through the remote TPU compile service).
 SCAN_THRESHOLD = int(os.environ.get("CIRCUITS_NTT_SCAN_MIN", 1 << 12))
 
+# Large-n strategy: "fourstep" or "scan" (CIRCUITS_NTT_IMPL overrides). The
+# four-step keeps the unrolled reshape-only butterflies (no gathers) on
+# sqrt(n)-sized factors; the scan path pays 3 full-width gathers per stage
+# but compiles one stage. Measured k=13 B=8: TPU v5e scan 675 s compile /
+# 22.6 ms warm vs fourstep 40 s / 29.3 ms — the compile gap (gather
+# lowering) dominates for every fresh (n, omega, batch) shape, so TPU
+# defaults to fourstep; XLA:CPU compiles the scan stage in seconds and runs
+# it 1.7x faster than fourstep's transposes, so CPU defaults to scan.
+LARGE_IMPL = os.environ.get("CIRCUITS_NTT_IMPL")
+
+
+def _large_impl() -> str:
+    global LARGE_IMPL
+    if LARGE_IMPL is None:
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        LARGE_IMPL = "scan" if backend == "cpu" else "fourstep"
+    return LARGE_IMPL
+
+_fourstep_tw_cache: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _fourstep_twiddles(n1: int, n2: int, omega: int) -> np.ndarray:
+    """ω^{k1·j2} as a (16, n1, n2) Montgomery limb tensor (k1 rows)."""
+    key = (n1, n2, omega)
+    hit = _fourstep_tw_cache.get(key)
+    if hit is not None:
+        return hit
+    p = F.FR_MOD
+    col = [1] * n1  # ω^{k1}
+    for i in range(1, n1):
+        col[i] = col[i - 1] * omega % p
+    rows = np.empty((16, n1, n2), dtype=np.uint32)
+    for k1 in range(n1):
+        w = col[k1]
+        vals = [1] * n2
+        for j2 in range(1, n2):
+            vals[j2] = vals[j2 - 1] * w % p
+        rows[:, k1, :] = FJ.ints_to_limbs([(v << 256) % p for v in vals])
+    _fourstep_tw_cache[key] = rows
+    return rows
+
+
+def _ntt_core_fourstep(a: jax.Array, n: int, omega: int) -> jax.Array:
+    """Single-device four-step (Bailey) NTT: n = n1·n2, two batched
+    sqrt(n)-point transforms (reshape-only butterflies — no gathers) around
+    one pointwise twiddle multiply and two transposes.
+
+    Index bookkeeping (same convention as ``parallel/ntt_sharded``):
+    input a[j1·n2 + j2] viewed as an (n1, n2) matrix; output
+    A[k1 + n1·k2] = Σ_{j2} ω^{j2·k1}·(ω^{n1})^{j2·k2}
+                    · Σ_{j1} a[j1·n2 + j2]·(ω^{n2})^{j1·k1}.
+    Compile cost is that of two log2(sqrt n)-stage unrolled graphs; runtime
+    avoids the 3·log2(n) full-width gathers of the scan path."""
+    logn = n.bit_length() - 1
+    log_n2 = (logn + 1) // 2
+    n2 = 1 << log_n2
+    n1 = n >> log_n2
+    batch = a.shape[1:-1]
+    x = a.reshape(a.shape[:-1] + (n1, n2))
+    x = jnp.swapaxes(x, -1, -2)                  # (…, j2, j1)
+    x = _ntt_core(x, n1, F.fr_pow(omega, n2))    # step 1 → (…, j2, k1)
+    x = jnp.swapaxes(x, -1, -2)                  # (…, k1, j2)
+    tw = jnp.asarray(_fourstep_twiddles(n1, n2, omega))
+    x = FJ.mont_mul(x, tw.reshape((16,) + (1,) * len(batch) + (n1, n2)))
+    x = _ntt_core(x, n2, F.fr_pow(omega, n1))    # step 3 → (…, k1, k2)
+    x = jnp.swapaxes(x, -1, -2)                  # (…, k2, k1): flat k1 + n1·k2
+    return x.reshape(a.shape)
+
 
 def _ntt_core(a: jax.Array, n: int, omega: int) -> jax.Array:
     if n >= SCAN_THRESHOLD:
-        return _ntt_core_scan(a, n, omega)
+        if _large_impl() == "scan":
+            return _ntt_core_scan(a, n, omega)
+        return _ntt_core_fourstep(a, n, omega)
     return _ntt_core_unrolled(a, n, omega)
 
 
