@@ -92,23 +92,13 @@ def main() -> None:
         hash_fn = PPL2.hash_batch_pallas2
     else:
         hash_fn = PF.hash_batch15
-    fn = jax.jit(hash_fn)
     x = jnp.asarray(arr)
-    np.asarray(fn(x))  # compile + warm (full materialization)
-
-    # correctness spot-check against the host path
-    from circuits_halo2_tpu.ops import field as F
-
-    dev0 = PF.limbs15_to_ints(np.asarray(fn(x))[:, :1])[0] * PF.R15_INV % F.FR_MOD
-    msg = [
-        PF.limbs15_to_ints(arr[i, :, :1])[0] * PF.R15_INV % F.FR_MOD
-        for i in range(length)
-    ]
-    assert dev0 == poseidon.hash_n(msg), "device/host hash mismatch"
-    print("correctness spot-check passed", file=sys.stderr)
 
     # timing loop inside one jit dispatch (lax.scan with data dependency):
-    # measures device throughput, not per-dispatch tunnel latency.
+    # measures device throughput, not per-dispatch tunnel latency. This is
+    # the ONLY graph the bench compiles — the correctness spot-check below
+    # replays the same chained sponge on the host, so no second (unchained)
+    # compile is paid just to compare one hash.
     def chained(x0):
         def body(state, _):
             h = hash_fn(state)
@@ -118,7 +108,24 @@ def main() -> None:
         return final_state
 
     chained_fn = jax.jit(chained)
-    np.asarray(chained_fn(x))  # compile + warm
+    final = np.asarray(chained_fn(x))  # compile + warm (full materialization)
+
+    # correctness spot-check against the host path: iterate the same chain
+    # (h <- H(h, h, h)) on column 0 and compare the device's final state.
+    from circuits_halo2_tpu.ops import field as F
+
+    h = poseidon.hash_n(
+        [
+            PF.limbs15_to_ints(arr[i, :, :1])[0] * PF.R15_INV % F.FR_MOD
+            for i in range(length)
+        ]
+    )
+    for _ in range(iters - 1):
+        h = poseidon.hash_n([h] * length)
+    dev0 = PF.limbs15_to_ints(final[0][:, :1])[0] * PF.R15_INV % F.FR_MOD
+    assert dev0 == h, "device/host chained hash mismatch"
+    print("correctness spot-check passed", file=sys.stderr)
+
     t0 = time.perf_counter()
     np.asarray(chained_fn(x))
     dt = time.perf_counter() - t0
