@@ -137,10 +137,10 @@ def keygen(params: ParamsKZG, cs: ConstraintSystem, asn: Assignment):
     )
     from .pinning import transcript_repr as _repr
 
-    # Framework-native pinned-VK digest (blake2b of the rendered compiled
-    # system). NOTE: not yet byte-identical to the Rust fork's Debug-format
-    # digest — the EVM/Keccak path (which has full parity) passes the
-    # digest explicitly; see models/pinning.py.
+    # Pinned-VK digest: blake2b over the rendered pinned system
+    # (models/pinning.py), byte-identical to the Rust fork's
+    # ``transcript_repr`` — verified against the reference-generated
+    # InclusionVerifier.sol vk_digest (tests/test_plonk_parity.py:91).
     vk.transcript_repr = _repr(vk)
 
     from ..utils.poly_device import intt_cols

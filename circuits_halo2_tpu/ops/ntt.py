@@ -216,18 +216,25 @@ SCAN_THRESHOLD = int(os.environ.get("CIRCUITS_NTT_SCAN_MIN", 1 << 12))
 # lowering) dominates for every fresh (n, omega, batch) shape, so TPU
 # defaults to fourstep; XLA:CPU compiles the scan stage in seconds and runs
 # it 1.7x faster than fourstep's transposes, so CPU defaults to scan.
-LARGE_IMPL = os.environ.get("CIRCUITS_NTT_IMPL")
+_VALID_LARGE_IMPLS = ("scan", "fourstep")
 
 
 def _large_impl() -> str:
-    global LARGE_IMPL
-    if LARGE_IMPL is None:
-        try:
-            backend = jax.default_backend()
-        except Exception:
-            backend = "cpu"
-        LARGE_IMPL = "scan" if backend == "cpu" else "fourstep"
-    return LARGE_IMPL
+    """Large-n strategy, resolved per call (a process whose first large NTT
+    runs under a CPU-forced context must not pin the choice for later TPU
+    calls — jax.default_backend() is cheap and context-sensitive)."""
+    env = os.environ.get("CIRCUITS_NTT_IMPL")
+    if env:
+        if env not in _VALID_LARGE_IMPLS:
+            raise ValueError(
+                f"CIRCUITS_NTT_IMPL={env!r}: expected one of {_VALID_LARGE_IMPLS}"
+            )
+        return env
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return "scan" if backend == "cpu" else "fourstep"
 
 _fourstep_tw_cache: dict[tuple[int, int, int], np.ndarray] = {}
 

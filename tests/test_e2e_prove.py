@@ -1,17 +1,25 @@
 """End-to-end prove/verify slice (SURVEY §7 minimum slice, full-KZG stage):
 CSV → MST → MstInclusion witness → KZG+SHPLONK proof (EVM transcript) →
-verification. Proof byte-length must equal the reference's (2144)."""
+verification. Proof byte-length must equal the reference's (2144).
+
+Also the DEFAULT-suite mesh-prover regression test (VERDICT r2 #9): the
+same prove on the virtual 8-device mesh, byte-identical to single-device.
+Keygen/params/witness are shared via a module fixture so the mesh run only
+pays the sharded-prover compile, not a second keygen.
+"""
 
 import json
 import os
 from pathlib import Path
 
+import pytest
 
 from circuits_halo2_tpu.merkle.mst import MerkleSumTree
 from circuits_halo2_tpu.models.keygen import keygen
 from circuits_halo2_tpu.models.mst_inclusion import MstInclusionCircuit, compile_circuit
-from circuits_halo2_tpu.models.prover import BlindingRng, prove
+from circuits_halo2_tpu.models.prover import prove
 from circuits_halo2_tpu.models.verifier import verify
+from circuits_halo2_tpu.parallel import auto, sharding
 from circuits_halo2_tpu.utils.srs import ParamsKZG
 
 HERE = Path(__file__).parent
@@ -21,18 +29,60 @@ VK_FIX = json.loads((HERE / "fixtures_vk_inclusion.json").read_text())
 # k=11 keygen+prove+verify is ~2.5 min warm on a 4-core CPU host.
 
 
-def test_prove_and_verify_entry_16():
+@pytest.fixture(scope="module")
+def setup():
     vkd = int(VK_FIX["vk_digest"], 16)
     params = ParamsKZG.read(str(HERE / "fixtures_ptau_hermez-raw-11"))
     _, cs, config, asn = compile_circuit(4, 2, 8, 11)
     vk, pk = keygen(params, cs, asn)
     tree = MerkleSumTree.from_csv(str(HERE / "fixtures_csv/entry_16.csv"))
     circuit = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(0))
-    instances = circuit.instances()
-    proof = prove(params, pk, circuit, config, instances, vk_digest=vkd)
+    return {
+        "vkd": vkd,
+        "params": params,
+        "config": config,
+        "vk": vk,
+        "pk": pk,
+        "circuit": circuit,
+        "instances": circuit.instances(),
+    }
+
+
+def test_prove_and_verify_entry_16(setup):
+    s = setup
+    proof = prove(
+        s["params"], s["pk"], s["circuit"], s["config"], s["instances"],
+        vk_digest=s["vkd"],
+    )
     assert len(proof) == 2144  # reference EVM proof size
-    assert verify(params, vk, instances, proof, vk_digest=vkd)
+    assert verify(s["params"], s["vk"], s["instances"], proof, vk_digest=s["vkd"])
     # soundness: flipped instance rejected
-    bad = [list(instances[0])]
+    bad = [list(s["instances"][0])]
     bad[0][2] += 1
-    assert not verify(params, vk, bad, proof, vk_digest=vkd)
+    assert not verify(s["params"], s["vk"], bad, proof, vk_digest=s["vkd"])
+    s["proof_single"] = proof
+
+
+def test_mesh_prove_bit_identical(setup):
+    """Ungated mesh-prover seam test (VERDICT r2 #9): prove on the 8-device
+    mesh (phase MSMs ≥2048 lanes and extended-domain NTTs ≥4096 route
+    through parallel/{msm,ntt}_sharded at k=11) and require the bytes to
+    equal the single-device proof — deterministic blinding makes any
+    sharding regression a hard byte mismatch, not a silent slowdown."""
+    s = setup
+    single = s.get("proof_single")
+    if single is None:  # -k selected this test alone: pay the baseline run
+        single = prove(
+            s["params"], s["pk"], s["circuit"], s["config"], s["instances"],
+            vk_digest=s["vkd"],
+        )
+    mesh = sharding.make_mesh(8)
+    auto.set_mesh(mesh)
+    try:
+        proof_mesh = prove(
+            s["params"], s["pk"], s["circuit"], s["config"], s["instances"],
+            vk_digest=s["vkd"],
+        )
+    finally:
+        auto.set_mesh(None)
+    assert proof_mesh == single, "mesh sharding changed proof bytes"

@@ -61,6 +61,37 @@ def test_device_roundtrip():
     assert back == a
 
 
+def test_fourstep_matches_host(monkeypatch):
+    """Four-step (Bailey) large-n path vs ntt_host: odd and even log2 n,
+    batch dim, and the inverse transform (ADVICE r2: the TPU-default
+    fourstep path had no coverage — CI runs CPU where scan is default)."""
+    monkeypatch.setenv("CIRCUITS_NTT_IMPL", "fourstep")
+    monkeypatch.setattr(ntt, "SCAN_THRESHOLD", 64)
+    for k in (7, 8):  # odd, even log2
+        n = 1 << k
+        omega = ntt.omega_for_k(k)
+        rows = [[rng.randrange(F.FR_MOD) for _ in range(n)] for _ in range(2)]
+        # batch dim forces a fresh trace (jit key includes the shape), so a
+        # cached single-row compile from another test can't mask the impl.
+        x = jnp.stack([to_mont(r) for r in rows], axis=1)  # (16, 2, n)
+        out = np.asarray(ntt.ntt(x, omega))
+        for b, row in enumerate(rows):
+            assert from_mont(out[:, b, :]) == ntt.ntt_host(row, omega)
+        back = np.asarray(ntt.intt(jnp.asarray(out), omega))
+        for b, row in enumerate(rows):
+            assert from_mont(back[:, b, :]) == row
+
+
+def test_large_impl_env_validated(monkeypatch):
+    monkeypatch.setenv("CIRCUITS_NTT_IMPL", "unrolled")
+    import pytest
+
+    with pytest.raises(ValueError):
+        ntt._large_impl()
+    monkeypatch.setenv("CIRCUITS_NTT_IMPL", "scan")
+    assert ntt._large_impl() == "scan"
+
+
 def test_omega_order():
     for k in (1, 4, 11):
         w = ntt.omega_for_k(k)
