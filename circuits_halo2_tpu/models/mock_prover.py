@@ -23,6 +23,11 @@ class GateFailure:
     gate: str
     poly_index: int
     row: int
+    # Enclosing region (halo2 FailureLocation::InRegion equivalent —
+    # reference negative tests assert these, e.g. region "permute state"
+    # offset 36, `zk_prover/src/circuits/tests.rs:91-123`).
+    region: str | None = None
+    offset: int | None = None
 
 
 @dataclass(frozen=True)
@@ -69,6 +74,18 @@ class MockProver:
                 "scaled": lambda a, k: a * k % P,
             }
 
+        def region_of(row: int) -> tuple[str | None, int | None]:
+            """Innermost (latest-started) region covering a row, and the
+            row's offset inside it — halo2's FailureLocation::InRegion."""
+            best = None
+            for name, start, height, _ in asn.regions_log:
+                if start <= row < start + height:
+                    if best is None or start >= best[1]:
+                        best = (name, start)
+            if best is None:
+                return None, None
+            return best[0], row - best[1]
+
         # evaluate each gate only where one of its selectors is enabled —
         # everywhere else the (uncompressed) selector factor is zero.
         from . import expr as E
@@ -92,7 +109,10 @@ class MockProver:
                 ops = ops_for_row(row)
                 for pi, poly in enumerate(gate.polys):
                     if poly.evaluate(ops) != 0:
-                        failures.append(GateFailure(gate.name, pi, row))
+                        reg, off = region_of(row)
+                        failures.append(
+                            GateFailure(gate.name, pi, row, reg, off)
+                        )
 
         for lk in cs.lookups:
             table = set()

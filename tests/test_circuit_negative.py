@@ -47,9 +47,15 @@ def test_invalid_root_hash_instance(tree):
     instances = circuit.instances()
     instances[0][1] = (instances[0][1] + 1) % FR_MOD
     failures = _prover(circuit, instances).verify()
-    assert failures
-    assert all(isinstance(f, CopyFailure) for f in failures)
-    assert any(f.right[0] == "instance" for f in failures)
+    # exactly ONE failure: the exposed root-hash cell (advice col 0, the
+    # final middle-hash output row) no longer equals instance row 1 — the
+    # reference asserts the same single Permutation failure
+    # (`tests.rs:91-123`). Row 1488 is layout-pinned (VK-parity-tested).
+    assert len(failures) == 1
+    f = failures[0]
+    assert isinstance(f, CopyFailure)
+    assert f.left[:3] == ("advice", 0, 1488)
+    assert f.right[:3] == ("instance", 0, 1)
 
 
 def test_invalid_leaf_hash_instance(tree):
@@ -58,7 +64,13 @@ def test_invalid_leaf_hash_instance(tree):
     instances = circuit.instances()
     instances[0][0] = (instances[0][0] + 1) % FR_MOD
     failures = _prover(circuit, instances).verify()
-    assert failures and all(isinstance(f, CopyFailure) for f in failures)
+    # one failure: entry leaf-hash output (advice col 0, row 122 — the
+    # first Poseidon sponge's output cell) vs instance row 0
+    assert len(failures) == 1
+    f = failures[0]
+    assert isinstance(f, CopyFailure)
+    assert f.left[:3] == ("advice", 0, 122)
+    assert f.right[:3] == ("instance", 0, 0)
 
 
 def test_invalid_entry_balance(tree):
@@ -68,9 +80,19 @@ def test_invalid_entry_balance(tree):
     instances = circuit.instances()
     circuit.entry_balances = [circuit.entry_balances[0] + 1, circuit.entry_balances[1]]
     failures = _prover(circuit, instances).verify()
-    assert failures
-    kinds = {type(f) for f in failures}
-    assert CopyFailure in kinds
+    # exactly three failures, as in the reference (`tests.rs:158-229`):
+    # the leaf hash no longer matches instance row 0, the recomputed root
+    # hash breaks, and the currency-0 running sum lands one above the
+    # committed root balance (556863 vs 556862).
+    assert len(failures) == 3
+    assert all(isinstance(f, CopyFailure) for f in failures)
+    leaf_f = next(f for f in failures if f.right[:3] == ("instance", 0, 0))
+    assert leaf_f.left[:3] == ("advice", 0, 122)
+    root_f = next(f for f in failures if f.right[:3] == ("instance", 0, 1))
+    assert root_f.left[:3] == ("advice", 0, 1488)
+    bal_f = next(f for f in failures if f.right[:3] == ("instance", 0, 2))
+    assert bal_f.left[:3] == ("advice", 2, 1326)
+    assert bal_f.left[3] == 556863 and bal_f.right[3] == 556862
 
 
 def test_out_of_range_balance_fails():
@@ -80,12 +102,15 @@ def test_out_of_range_balance_fails():
     tree = MerkleSumTree.from_csv(str(CSV / "entry_16_overflow.csv"))
     circuit = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(0))
     failures = _prover(circuit).verify()
-    assert failures
-    assert any(
-        isinstance(f, CopyFailure) and f.left[0] == "fixed" and f.left[3] == 0
-        for f in failures
-    )
-    assert any(f.right[3] == 1 << 48 for f in failures if isinstance(f, CopyFailure))
+    # one failure: the final running-sum cell z_8 (advice col 0, row 254,
+    # value 2^112 >> 64 = 2^48) violates its constrain-to-zero constant
+    # (fixed col 2, row 246) — the reference asserts the same exact
+    # ConstraintNotSatisfied location (`tests.rs:269-299`)
+    assert len(failures) == 1
+    f = failures[0]
+    assert isinstance(f, CopyFailure)
+    assert f.left[:4] == ("fixed", 2, 246, 0)
+    assert f.right[:4] == ("advice", 0, 254, 1 << 48)
 
 
 def test_non_binary_path_index(tree):
@@ -94,9 +119,23 @@ def test_non_binary_path_index(tree):
     circuit = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(0))
     circuit.path_indices = [2] + circuit.path_indices[1:]
     failures = _prover(circuit).verify()
-    gate_names = {f.gate for f in failures if isinstance(f, GateFailure)}
-    assert "bool constraint" in gate_names
-    assert "swap constraint" in gate_names
+    # exactly 4 failures, mirroring the reference list (`tests.rs:302-395`):
+    # the bool gate, BOTH swap-gate polynomials (all three in the level-0
+    # "assign nodes hashes per merkle tree level" region at offset 0), and
+    # the resulting root-hash copy mismatch.
+    gates = sorted(
+        (f.gate, f.poly_index, f.region, f.offset)
+        for f in failures
+        if isinstance(f, GateFailure)
+    )
+    assert gates == [
+        ("bool constraint", 0, "assign nodes hashes per merkle tree level", 0),
+        ("swap constraint", 0, "assign nodes hashes per merkle tree level", 0),
+        ("swap constraint", 1, "assign nodes hashes per merkle tree level", 0),
+    ]
+    copies = [f for f in failures if isinstance(f, CopyFailure)]
+    assert len(copies) == 1 and copies[0].left[:3] == ("advice", 0, 1488)
+    assert len(failures) == 4
 
 
 def test_swapped_path_index(tree):
@@ -105,7 +144,13 @@ def test_swapped_path_index(tree):
     circuit = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(0))
     circuit.path_indices = [1 - circuit.path_indices[0]] + circuit.path_indices[1:]
     failures = _prover(circuit).verify()
-    assert failures and all(isinstance(f, CopyFailure) for f in failures)
+    # one failure: the (validly computed, but different) root hash fails
+    # its copy to instance row 1 (`tests.rs:398-433`)
+    assert len(failures) == 1
+    f = failures[0]
+    assert isinstance(f, CopyFailure)
+    assert f.left[:3] == ("advice", 0, 1488)
+    assert f.right[:3] == ("instance", 0, 1)
 
 
 def test_layout_rendering():
