@@ -56,7 +56,7 @@ def _limbs_of(x: int, n: int) -> list[int]:
 # ---- reduction weight matrix: byte-planes of product columns -> limbs ----
 # input rows: (col k, byte h): weight 2^{15k + 8h}, k = 0..NCOLS-1, h = 0..2
 # output rows: lo/hi byte planes of radix-15 digits of (weight mod p), 18 digits
-NCOLS = 2 * NL + 1
+NCOLS = 2 * NL  # _mul_dyn returns len(a)+len(b) columns
 
 
 def _reduce_w() -> np.ndarray:
@@ -77,18 +77,20 @@ R_IN = _RW.shape[1]
 
 def _split3_cast(cols):
     """u32 cols (< 2^24) -> 3 bf16 byte planes each."""
+    def bf16(v):  # Mosaic has no u32->bf16; hop via i32->f32
+        return v.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
     planes = []
     for c in cols:
-        planes.append((c & 0xFF).astype(jnp.bfloat16))
-        planes.append(((c >> 8) & 0xFF).astype(jnp.bfloat16))
-        planes.append((c >> 16).astype(jnp.bfloat16))
+        planes.append(bf16(c & 0xFF))
+        planes.append(bf16((c >> 8) & 0xFF))
+        planes.append(bf16(c >> 16))
     return planes
 
 
-def _mxu_reduce(cols, stack_mode: str):
+def _mxu_reduce(w, cols, stack_mode: str):
     """Fold product columns mod p via one bf16 matmul. Returns 18 limbs."""
     planes = _split3_cast(cols)  # R_IN arrays of (SUB, LANE)
-    w = jnp.asarray(_RW.astype(np.float32)).astype(jnp.bfloat16)  # (36, R_IN)
     if stack_mode == "reshape":
         d = jnp.stack(planes, axis=0).reshape(R_IN, SUB * LANE)
         out = jax.lax.dot_general(
@@ -107,13 +109,18 @@ def _mxu_reduce(cols, stack_mode: str):
             wb, d, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (SUB, 36, LANE)
         out = jnp.swapaxes(out, 0, 1)
-    lo = out[:NL].astype(jnp.uint32)
-    hi = out[NL:].astype(jnp.uint32)
+    lo = out[:NL].astype(jnp.int32).astype(jnp.uint32)
+    hi = out[NL:].astype(jnp.int32).astype(jnp.uint32)
     limbs = [lo[i] + (hi[i] << 8) for i in range(NL)]  # < 2^31
     return P2._fold(P2._fold(limbs))[:NL]
 
 
-def _kern_vpu_mul(x_ref, y_ref, o_ref):
+def _kern_noop(w_ref, x_ref, y_ref, o_ref):
+    for i in range(NL):
+        o_ref[i] = x_ref[i] + y_ref[i]
+
+
+def _kern_vpu_mul(w_ref, x_ref, y_ref, o_ref):
     x = [x_ref[i] for i in range(NL)]
     y = [y_ref[i] for i in range(NL)]
 
@@ -127,14 +134,15 @@ def _kern_vpu_mul(x_ref, y_ref, o_ref):
 
 
 def _make_kern_mxu_mul(stack_mode):
-    def kern(x_ref, y_ref, o_ref):
+    def kern(w_ref, x_ref, y_ref, o_ref):
+        w = w_ref[...]
         x = [x_ref[i] for i in range(NL)]
         y = [y_ref[i] for i in range(NL)]
 
         def body(_, xy):
             x, y = xy
             cols = P2._mul_dyn(x, y)  # NCOLS u32 columns
-            return (_mxu_reduce(cols, stack_mode), x)
+            return (_mxu_reduce(w, cols, stack_mode), x)
 
         x, y = jax.lax.fori_loop(0, ITERS, body, (x, y))
         for i in range(NL):
@@ -145,14 +153,15 @@ def _make_kern_mxu_mul(stack_mode):
 
 def _make_kern_boundary(stack_mode):
     """Boundary cost only: skip the VPU product, feed x-limbs widened."""
-    def kern(x_ref, y_ref, o_ref):
+    def kern(w_ref, x_ref, y_ref, o_ref):
+        w = w_ref[...]
         x = [x_ref[i] for i in range(NL)]
-        cols = x + x + [x[0]]  # fake NCOLS columns, values < 2^16
+        cols = x + x  # fake NCOLS columns, values < 2^16
 
         def body(_, carry):
             cols = carry
-            limbs = _mxu_reduce(cols, stack_mode)
-            return limbs + limbs + [limbs[0]]
+            limbs = _mxu_reduce(w, cols, stack_mode)
+            return limbs + limbs
 
         cols = jax.lax.fori_loop(0, ITERS, body, cols)
         for i in range(NL):
@@ -161,7 +170,7 @@ def _make_kern_boundary(stack_mode):
     return kern
 
 
-def _kern_bcast(x_ref, y_ref, o_ref):
+def _kern_bcast(w_ref, x_ref, y_ref, o_ref):
     """Matrix-layout probe: per-iteration sublane broadcast + mult."""
     x = x_ref[...].astype(jnp.uint32)  # (NL*? , LANE) — use full ref
 
@@ -179,10 +188,12 @@ def run(name, kern, n_in=NL):
     x = rng.integers(0, 1 << LB, size=(NL, m, LANE), dtype=np.uint32)
     y = rng.integers(0, 1 << LB, size=(NL, m, LANE), dtype=np.uint32)
     grid = (m // SUB,)
+    wmat = jnp.asarray(_RW).astype(jnp.bfloat16)
     fn = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((36, R_IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
@@ -193,15 +204,18 @@ def run(name, kern, n_in=NL):
         interpret=_INTERPRET,
     )
     fn = jax.jit(fn)
+    xd, yd = jax.device_put(jnp.asarray(x)), jax.device_put(jnp.asarray(y))
+    wd = jax.device_put(wmat)
     t0 = time.perf_counter()
-    out = np.asarray(fn(jnp.asarray(x), jnp.asarray(y)))
+    out = fn(wd, xd, yd).block_until_ready()
     compile_s = time.perf_counter() - t0
+    reps = int(os.environ.get("EXP_REPS", "4"))
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
-        out = np.asarray(fn(jnp.asarray(x), jnp.asarray(y)))
+        out = np.asarray(fn(wd, xd, yd))  # materialize: tunnel-safe fence
     dt = (time.perf_counter() - t0) / reps
     per_op_ns = dt / (ITERS * m * LANE) * 1e9
+    out = np.asarray(out)
     print(
         f"{name:12s} compile {compile_s:7.1f}s  warm {dt*1e3:8.2f}ms  "
         f"{per_op_ns:8.3f} ns/elem-op  ({1/per_op_ns:6.2f} Gop/s)",
@@ -213,8 +227,8 @@ def run(name, kern, n_in=NL):
 def _check_mxu_mul_exact():
     """Bit-exactness probe of one mxu mul vs host (interpret or device)."""
     rng = np.random.default_rng(1)
-    xs = [int(rng.integers(0, P >> 2)) for _ in range(4)]
-    ys = [int(rng.integers(0, P >> 2)) for _ in range(4)]
+    xs = [int.from_bytes(rng.bytes(31), "little") for _ in range(4)]
+    ys = [int.from_bytes(rng.bytes(31), "little") for _ in range(4)]
     m = SUB
     x = np.zeros((NL, m, LANE), dtype=np.uint32)
     y = np.zeros((NL, m, LANE), dtype=np.uint32)
@@ -222,10 +236,10 @@ def _check_mxu_mul_exact():
         x[:, 0, j] = PF.int_to_limbs15(a)
         y[:, 0, j] = PF.int_to_limbs15(b)
 
-    def kern(x_ref, y_ref, o_ref):
+    def kern(w_ref, x_ref, y_ref, o_ref):
         xl = [x_ref[i] for i in range(NL)]
         yl = [y_ref[i] for i in range(NL)]
-        out = _mxu_reduce(P2._mul_dyn(xl, yl), "free")
+        out = _mxu_reduce(w_ref[...], P2._mul_dyn(xl, yl), "free")
         for i in range(NL):
             o_ref[i] = out[i]
 
@@ -233,6 +247,7 @@ def _check_mxu_mul_exact():
         kern,
         grid=(1,),
         in_specs=[
+            pl.BlockSpec((36, R_IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NL, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
@@ -242,7 +257,8 @@ def _check_mxu_mul_exact():
         out_shape=jax.ShapeDtypeStruct((NL, m, LANE), jnp.uint32),
         interpret=_INTERPRET,
     )
-    out = np.asarray(fn(jnp.asarray(x), jnp.asarray(y)))
+    wmat = jnp.asarray(_RW).astype(jnp.bfloat16)
+    out = np.asarray(fn(wmat, jnp.asarray(x), jnp.asarray(y)))
     for j, (a, b) in enumerate(zip(xs, ys)):
         got = 0
         for i in range(NL):
@@ -254,7 +270,9 @@ def _check_mxu_mul_exact():
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["check", "vpu_mul", "boundary_free", "mxu_free"]
     for v in variants:
-        if v == "check":
+        if v == "noop":
+            run("noop", _kern_noop)
+        elif v == "check":
             _check_mxu_mul_exact()
         elif v == "vpu_mul":
             run("vpu_mul", _kern_vpu_mul)

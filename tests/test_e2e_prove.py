@@ -63,6 +63,31 @@ def test_prove_and_verify_entry_16(setup):
     s["proof_single"] = proof
 
 
+def test_batch_prove_bit_identical(setup):
+    """Cross-user batched proving (SURVEY §7 throughput lever): a U=2 batch
+    through models/prover_batch must produce proofs byte-identical to two
+    independent single-user proves — same blinding order, same transcript
+    framing — so batching can never change a proof."""
+    from circuits_halo2_tpu.merkle.mst import MerkleSumTree
+    from circuits_halo2_tpu.models.prover_batch import prove_batch
+
+    s = setup
+    tree = MerkleSumTree.from_csv(str(HERE / "fixtures_csv/entry_16.csv"))
+    c1 = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(1))
+    single0 = s.get("proof_single") or prove(
+        s["params"], s["pk"], s["circuit"], s["config"], s["instances"],
+        vk_digest=s["vkd"])
+    single1 = prove(s["params"], s["pk"], c1, s["config"], c1.instances(),
+                    vk_digest=s["vkd"])
+    batch = prove_batch(
+        s["params"], s["pk"], [s["circuit"], c1], s["config"],
+        [s["instances"], c1.instances()], vk_digest=s["vkd"])
+    assert batch[0] == single0, "batched proof (user 0) diverged"
+    assert batch[1] == single1, "batched proof (user 1) diverged"
+    assert verify(s["params"], s["vk"], c1.instances(), batch[1],
+                  vk_digest=s["vkd"])
+
+
 def test_mesh_prove_bit_identical(setup):
     """Ungated mesh-prover seam test (VERDICT r2 #9): prove on the 8-device
     mesh (phase MSMs ≥2048 lanes and extended-domain NTTs ≥4096 route
