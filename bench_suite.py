@@ -330,6 +330,9 @@ def main():
         ok = pipeline.full_verifier(art, proof, instances)
         emit("verify_mst_inclusion_k11", time.perf_counter() - t0, "s", {"ok": ok})
 
+    if "batch_throughput" in stages:
+        _bench_batch_throughput(art, tree)
+
     if "throughput" in stages:
         # sustained multi-user proving (the product workload: one proof per
         # user, embarrassingly parallel across users — SURVEY §7); steady
@@ -348,6 +351,42 @@ def main():
             "proofs/min",
             {"users": users, "total_s": round(dt, 2), "incl_verify": True},
         )
+
+
+def _bench_batch_throughput(art, tree):
+    """Sustained cross-user BATCHED proving (models/prover_batch): U users
+    per device dispatch — the SURVEY §7 throughput lever, measured."""
+    from circuits_halo2_tpu.models.mst_inclusion import MstInclusionCircuit
+    from circuits_halo2_tpu.models.prover import BlindingRng
+    from circuits_halo2_tpu.models.prover_batch import prove_batch
+    from circuits_halo2_tpu.utils import pipeline
+
+    users = int(os.environ.get("BENCH_USERS", 8))
+
+    def batch():
+        cs_ = [
+            MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(u % 16))
+            for u in range(users)
+        ]
+        return prove_batch(
+            art.params, art.pk, cs_, art.config,
+            [c.instances() for c in cs_],
+            rngs=[BlindingRng() for _ in cs_],
+            vk_digest=art.vk.transcript_repr,
+        ), cs_
+
+    batch()  # compile + warm the vmapped graphs
+    t0 = time.perf_counter()
+    proofs, cs_ = batch()
+    dt = time.perf_counter() - t0
+    ok = pipeline.full_verifier(art, proofs[0], cs_[0].instances())
+    assert ok, "batched proof failed to verify"
+    emit(
+        "prove_batch_throughput_k11",
+        round(users / (dt / 60.0), 2),
+        "proofs/min",
+        {"users": users, "total_s": round(dt, 2), "batched": True},
+    )
 
 
 if __name__ == "__main__":

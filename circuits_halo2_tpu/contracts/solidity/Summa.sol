@@ -88,6 +88,14 @@ contract Summa {
         emit AddressOwnershipProofSubmitted(proofs);
     }
 
+    function getAddressOwnershipProof(
+        bytes32 addressHash
+    ) public view returns (AddressOwnershipProof memory) {
+        require(ownershipProofByAddress[addressHash] > 0, "Address not verified");
+        // index is stored +1 so 0 can mean "not submitted"
+        return addressOwnershipProofs[ownershipProofByAddress[addressHash] - 1];
+    }
+
     function submitCommitment(
         uint256 mstRoot,
         uint256[] memory rootBalances,

@@ -183,6 +183,245 @@ class IncrementalMstInclusionCircuit(MstInclusionCircuit):
         asn.constrain_instance(liab_state_cur, config.instance, 3)
 
 
+class ChainedMstInclusionCircuit(IncrementalMstInclusionCircuit):
+    """N IVC steps compressed into ONE SNARK — the CompressedSNARK-
+    equivalent endpoint of the incremental chain.
+
+    The reference folds N step instances with Nova and then produces one
+    Spartan proof whose verification cost is independent of N
+    (`nova_incremental_verifier.rs:199-226`). Here the same N-step chain
+    STATEMENT — user_state_{i+1} = H(user_state_i, leaf_hash_i),
+    liab_state_{i+1} = H(liab_state_i, root_hash_i), with every step's
+    full MST inclusion + range checks — is proven inside one PLONKish
+    circuit: the state cells chain across steps by direct cell reuse (a
+    copy-constraint chain), so the proof artifact is ONE KZG+SHPLONK proof
+    and verification is one transcript replay + one pairing, independent
+    of N. Public instances (4 rows, the ``step_in``/``z_last`` shape):
+    [user_state_0, liab_state_0, user_state_N, liab_state_N].
+
+    Honest divergence from Nova, documented: proving COST is O(N) rows in
+    one circuit (N bounded by 2^k), not O(1)-memory folding; verify cost
+    and artifact size are O(1) like the reference's compressed proof.
+    """
+
+    def __init__(self, levels: int, n_currencies: int, n_bytes: int,
+                 nsteps: int):
+        super().__init__(levels, n_currencies, n_bytes)
+        self.nsteps = nsteps
+        self.step_witnesses: list[IncrementalMstInclusionCircuit] = [
+            IncrementalMstInclusionCircuit(levels, n_currencies, n_bytes)
+            for _ in range(nsteps)
+        ]
+
+    @classmethod
+    def init_chain(cls, levels: int, n_currencies: int, n_bytes: int,
+                   proofs: list[MerkleProof]) -> "ChainedMstInclusionCircuit":
+        c = cls(levels, n_currencies, n_bytes, len(proofs))
+        us, ls = 0, 0
+        for i, mp in enumerate(proofs):
+            step = IncrementalMstInclusionCircuit.init_step(
+                levels, n_currencies, n_bytes, mp, us, ls
+            )
+            c.step_witnesses[i] = step
+            inst = step.instances()[0]
+            us, ls = inst[2], inst[3]
+        c.final_user_state = us
+        c.final_liab_state = ls
+        return c
+
+    # -- public inputs ------------------------------------------------------
+
+    def num_instances(self) -> int:
+        return 4
+
+    def instances(self) -> list[list[int]]:
+        us, ls = 0, 0
+        for step in self.step_witnesses:
+            inst = step.instances()[0]
+            if inst[0] != us or inst[1] != ls:
+                raise ValueError("step witnesses are not a valid chain")
+            us, ls = inst[2], inst[3]
+        return [[0, 0, us, ls]]
+
+    # -- synthesize ---------------------------------------------------------
+
+    def synthesize(self, config: MstInclusionConfig, asn: Assignment):
+        from . import pow5
+
+        entry_chip = pow5.Pow5Chip(config.poseidon_entry)
+        middle_chip = pow5.Pow5Chip(config.poseidon_middle)
+        merkle_chip = config.merkle_chip
+        range_chip = config.range_chip
+        ncur = self.n_currencies
+
+        user_state = self._assign_value(
+            asn, 0, "user state 0", config.advices[0]
+        )
+        liab_state = self._assign_value(
+            asn, 0, "liabilities state 0", config.advices[0]
+        )
+        asn.constrain_instance(user_state, config.instance, 0)
+        asn.constrain_instance(liab_state, config.instance, 1)
+
+        self._load_u8_table(asn, config.fixed_columns[4])  # shared by all steps
+
+        for w in self.step_witnesses:
+            username = self._assign_value(
+                asn, w.entry_username, "entry username", config.advices[0]
+            )
+            current_balances = [
+                self._assign_value(asn, b, "entry balance", config.advices[1])
+                for b in w.entry_balances
+            ]
+            current_hash = entry_chip.hash(asn, [username] + current_balances)
+            # user_state chain: the PREVIOUS step's output cell feeds the
+            # sponge directly (cell reuse = copy-constraint chaining)
+            user_state = entry_chip.hash(asn, [user_state, current_hash])
+
+            for level in range(w.levels):
+                sibling_balances = []
+                if level == 0:
+                    sibling_username = self._assign_value(
+                        asn,
+                        w.sibling_leaf_node_hash_preimage[0],
+                        "sibling leaf node username",
+                        config.advices[0],
+                    )
+                    for currency in range(ncur):
+                        sibling_balances.append(
+                            self._assign_value(
+                                asn,
+                                w.sibling_leaf_node_hash_preimage[currency + 1],
+                                "sibling leaf balance",
+                                config.advices[1],
+                            )
+                        )
+                    sibling_hash = entry_chip.hash(
+                        asn, [sibling_username] + sibling_balances
+                    )
+                    for currency in range(ncur):
+                        range_chip.assign(asn, current_balances[currency])
+                        range_chip.assign(asn, sibling_balances[currency])
+                else:
+                    preimage = w.sibling_middle_node_hash_preimages[level - 1]
+                    for currency in range(ncur):
+                        sibling_balances.append(
+                            self._assign_value(
+                                asn,
+                                preimage[currency],
+                                "sibling node balance",
+                                config.advices[1],
+                            )
+                        )
+                    left_hash = self._assign_value(
+                        asn, preimage[ncur], "sibling left hash",
+                        config.advices[2],
+                    )
+                    right_hash = self._assign_value(
+                        asn, preimage[ncur + 1], "sibling right hash",
+                        config.advices[2],
+                    )
+                    sibling_hash = middle_chip.hash(
+                        asn, sibling_balances + [left_hash, right_hash]
+                    )
+                    for currency in range(ncur):
+                        range_chip.assign(asn, sibling_balances[currency])
+
+                swap_bit = self._assign_value(
+                    asn, w.path_indices[level], "swap bit", config.advices[0]
+                )
+                hash_left, hash_right = merkle_chip.swap_hashes_per_level(
+                    asn, current_hash, sibling_hash, swap_bit
+                )
+                next_balances = []
+                for currency in range(ncur):
+                    next_balances.append(
+                        merkle_chip.sum_balances_per_level(
+                            asn, current_balances[currency],
+                            sibling_balances[currency],
+                        )
+                    )
+                current_hash = middle_chip.hash(
+                    asn, next_balances + [hash_left, hash_right]
+                )
+                current_balances = next_balances
+
+            # liabilities chain on this step's root
+            liab_state = entry_chip.hash(asn, [liab_state, current_hash])
+
+        asn.constrain_instance(user_state, config.instance, 2)
+        asn.constrain_instance(liab_state, config.instance, 3)
+
+
+def compile_chained_circuit(levels: int, n_currencies: int, n_bytes: int,
+                            nsteps: int, k: int):
+    """configure + keygen-style synthesis for the N-step chained circuit."""
+    n = 1 << k
+    circuit = ChainedMstInclusionCircuit(levels, n_currencies, n_bytes, nsteps)
+    cs = ConstraintSystem()
+    config = circuit.configure(cs)
+    asn = Assignment(cs, n, [[0] * circuit.num_instances()])
+    circuit.synthesize(config, asn)
+    new_cols, new_values = cs.compress_selectors(
+        [list(act) for act in asn.selectors], n
+    )
+    for values in new_values:
+        asn.fixed.append(list(values))
+    return circuit, cs, config, asn
+
+
+def prove_chain_snark(artifacts, csv_paths: list[str], user_index: int):
+    """ONE compressed SNARK for the whole N-round chain.
+
+    ``artifacts`` must come from
+    ``pipeline.generate_chained_artifacts(k, ..., nsteps=len(csv_paths))``.
+    Returns ``(proof_bytes, instances)`` — the CompressedSNARK analogue:
+    constant-size artifact, constant-cost verification."""
+    from ..utils import pipeline
+
+    levels, ncur, nbytes = artifacts.circuit_shape
+    cryptos = [Cryptocurrency(f"CUR{i}", "NA") for i in range(ncur)]
+    proofs = []
+    for path in csv_paths:
+        tree = MerkleSumTree.from_entries(entries_from_states_csv(path), cryptos)
+        proofs.append(tree.generate_proof(user_index))
+    circuit = ChainedMstInclusionCircuit.init_chain(levels, ncur, nbytes, proofs)
+    inst = circuit.instances()
+    proof = pipeline.full_prover(artifacts, circuit, inst)
+    return proof, inst
+
+
+def verify_chain_snark(artifacts, proof: bytes, instances,
+                       expected_roots: list[int] | None = None,
+                       expected_leaf_hashes: list[int] | None = None) -> bool:
+    """Verify the compressed chain SNARK — one transcript replay + one
+    pairing, independent of N (the CompressedSNARK::verify equivalent).
+
+    When the published per-round roots (and optionally the user's leaf
+    hashes) are supplied, the final chain states are recomputed from them
+    — the ``z_last`` check of `nova_incremental_verifier.rs:199-226` —
+    binding the SNARK to the on-chain commitments."""
+    from ..ops import poseidon
+    from ..utils import pipeline
+
+    inst = instances[0]
+    if inst[0] != 0 or inst[1] != 0:
+        return False
+    if expected_roots is not None:
+        ls = 0
+        for r in expected_roots:
+            ls = poseidon.hash_n([ls, r])
+        if ls != inst[3]:
+            return False
+    if expected_leaf_hashes is not None:
+        us = 0
+        for lh in expected_leaf_hashes:
+            us = poseidon.hash_n([us, lh])
+        if us != inst[2]:
+            return False
+    return pipeline.full_verifier(artifacts, proof, instances)
+
+
 def compile_incremental_circuit(levels: int, n_currencies: int, n_bytes: int, k: int):
     """configure + keygen-style synthesis for the empty step circuit."""
     n = 1 << k

@@ -95,6 +95,33 @@ def generate_incremental_artifacts(
     return SetupArtifacts(params, pk, vk, cs, config, (levels, n_currencies, n_bytes))
 
 
+def generate_chained_artifacts(
+    k: int,
+    ptau_path: str | None,
+    levels: int,
+    n_currencies: int,
+    n_bytes: int,
+    nsteps: int,
+) -> SetupArtifacts:
+    """Setup + keygen for the N-step chained (CompressedSNARK-equivalent)
+    inclusion circuit (`models/incremental.ChainedMstInclusionCircuit`)."""
+    from ..models.incremental import compile_chained_circuit
+
+    if ptau_path is not None:
+        params = ParamsKZG.read(ptau_path)
+        if params.k < k:
+            raise ValueError("provided ptau is smaller than the requested k")
+        if params.k > k:
+            params = params.downsize(k)
+    else:
+        params = ParamsKZG.setup(k)
+    _, cs, config, asn = compile_chained_circuit(
+        levels, n_currencies, n_bytes, nsteps, k
+    )
+    vk, pk = keygen(params, cs, asn)
+    return SetupArtifacts(params, pk, vk, cs, config, (levels, n_currencies, n_bytes))
+
+
 def full_prover(
     artifacts: SetupArtifacts,
     circuit: MstInclusionCircuit,

@@ -115,11 +115,6 @@ def _mxu_reduce(w, cols, stack_mode: str):
     return P2._fold(P2._fold(limbs))[:NL]
 
 
-def _kern_noop(w_ref, x_ref, y_ref, o_ref):
-    for i in range(NL):
-        o_ref[i] = x_ref[i] + y_ref[i]
-
-
 def _kern_vpu_mul(w_ref, x_ref, y_ref, o_ref):
     x = [x_ref[i] for i in range(NL)]
     y = [y_ref[i] for i in range(NL)]
@@ -182,7 +177,10 @@ def _kern_bcast(w_ref, x_ref, y_ref, o_ref):
     o_ref[...] = x
 
 
-def run(name, kern, n_in=NL):
+def run(name, kern, iters=None, n_in=NL):
+    global ITERS
+    if iters is not None:
+        ITERS = iters
     m = TILES * SUB
     rng = np.random.default_rng(0)
     x = rng.integers(0, 1 << LB, size=(NL, m, LANE), dtype=np.uint32)
@@ -215,13 +213,12 @@ def run(name, kern, n_in=NL):
         out = np.asarray(fn(wd, xd, yd))  # materialize: tunnel-safe fence
     dt = (time.perf_counter() - t0) / reps
     per_op_ns = dt / (ITERS * m * LANE) * 1e9
-    out = np.asarray(out)
     print(
         f"{name:12s} compile {compile_s:7.1f}s  warm {dt*1e3:8.2f}ms  "
         f"{per_op_ns:8.3f} ns/elem-op  ({1/per_op_ns:6.2f} Gop/s)",
         flush=True,
     )
-    return out
+    return dt
 
 
 def _check_mxu_mul_exact():
@@ -267,20 +264,30 @@ def _check_mxu_mul_exact():
     print("mxu_mul exactness: OK", flush=True)
 
 
+def _kern_for(v):
+    if v == "vpu_mul":
+        return _kern_vpu_mul
+    if v.startswith("boundary"):
+        return _make_kern_boundary(v.split("_", 1)[1] if "_" in v else "free")
+    if v.startswith("mxu"):
+        return _make_kern_mxu_mul(v.split("_", 1)[1] if "_" in v else "free")
+    if v == "bcast":
+        return _kern_bcast
+    raise SystemExit(f"unknown variant {v}")
+
+
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["check", "vpu_mul", "boundary_free", "mxu_free"]
     for v in variants:
-        if v == "noop":
-            run("noop", _kern_noop)
-        elif v == "check":
+        if v == "check":
             _check_mxu_mul_exact()
-        elif v == "vpu_mul":
-            run("vpu_mul", _kern_vpu_mul)
-        elif v.startswith("boundary"):
-            mode = v.split("_", 1)[1] if "_" in v else "free"
-            run(v, _make_kern_boundary(mode))
-        elif v.startswith("mxu"):
-            mode = v.split("_", 1)[1] if "_" in v else "free"
-            run(v, _make_kern_mxu_mul(mode))
-        elif v == "bcast":
-            run("bcast", _kern_bcast)
+            continue
+        # dual-ITERS difference: per-iteration cost with the fixed
+        # dispatch + tunnel-transfer overhead cancelled out
+        lo, hi = 64, 320
+        dt_lo = run(f"{v}@{lo}", _kern_for(v), iters=lo)
+        dt_hi = run(f"{v}@{hi}", _kern_for(v), iters=hi)
+        per_mul_ns = (dt_hi - dt_lo) / (hi - lo) / (TILES * SUB * LANE) * 1e9
+        print(f"{v:14s} per-elem-iter {per_mul_ns:8.3f} ns  "
+              f"({1e3/per_mul_ns if per_mul_ns > 0 else 0:8.1f} M/s/elem-lane)",
+              flush=True)

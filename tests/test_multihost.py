@@ -26,15 +26,15 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_two_process_mesh_sharded_kernels():
-    port = 29741
+def _run_workers(port: int, mode: str, timeout: int):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, str(HERE / "mh_worker.py"), str(i), "2", str(port)],
+            [sys.executable, str(HERE / "mh_worker.py"), str(i), "2",
+             str(port), mode],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -45,7 +45,7 @@ def test_two_process_mesh_sharded_kernels():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -54,3 +54,15 @@ def test_two_process_mesh_sharded_kernels():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert "MH_OK" in out, f"proc {i} incomplete:\n{out[-3000:]}"
+
+
+def test_two_process_mesh_sharded_kernels():
+    _run_workers(29741, "kernels", 900)
+
+
+def test_two_process_k13_prove_bit_identical():
+    """BASELINE config 5 stand-in (VERDICT r2 #5): a full k=13 prove with
+    sharded MSM/NTT over the GLOBAL 2-process mesh — collectives cross the
+    process boundary over gloo (the DCN analogue) — byte-identical to the
+    single-process proof and verified. See PROGRESS.md "Multi-host DCN"."""
+    _run_workers(29743, "prove", 2400)

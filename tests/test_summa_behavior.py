@@ -1,8 +1,16 @@
 """Summa registrar behavior parity — mirrors the reference hardhat suite
-(`contracts/test/Summa.ts:127-528`, 20 cases) against the executable spec
-(contracts/summa_sim.py), driven through the web3 JSON-RPC transport so the
-ABI/transaction layer is exercised too. Proof-verification cases with real
-ZK fixtures live in test_contracts.py / test_backend.py."""
+(`contracts/test/Summa.ts:127-528`, 20 cases), driven through the web3
+JSON-RPC transport so the ABI/transaction layer is exercised too.
+
+Every case runs against BOTH backends (fixture params):
+  - ``sol``: the SHIPPED contracts/solidity/Summa.sol source, executed by
+    the Solidity-subset interpreter (contracts/sol_exec.py) — the .sol
+    file is the tested artifact, as in the reference's Anvil-backed suite;
+  - ``sim``: the Python state-machine spec (contracts/summa_sim.py), kept
+    as a cross-check of the interpreter.
+
+Proof-verification cases with real ZK fixtures live in test_contracts.py /
+test_backend.py."""
 
 import pytest
 
@@ -26,9 +34,14 @@ def _proof(addr="0xCexAddress", chain="ETH", sig="0xsig", msg="Summa ownership")
     return AddressOwnershipProof(addr, chain, sig, msg)
 
 
-@pytest.fixture
-def stack():
-    sim = SummaContractSim(lambda p, i: True, 4, 2, 8, owner=OWNER)
+@pytest.fixture(params=["sol", "sim"])
+def stack(request):
+    if request.param == "sol":
+        from circuits_halo2_tpu.contracts.sol_exec import SolSummaContract
+
+        sim = SolSummaContract(lambda p, i: True, 4, 2, 8, owner=OWNER)
+    else:
+        sim = SummaContractSim(lambda p, i: True, 4, 2, 8, owner=OWNER)
     return sim, Web3SummaContract(FakeRpcProvider(sim, ADDR), ADDR)
 
 
