@@ -55,3 +55,33 @@ def test_write_read_roundtrip(tmp_path):
     q = ParamsKZG.read(str(path))
     assert q.k == 3 and q.g == p.g and q.g_lagrange == p.g_lagrange
     assert q.g2 == p.g2 and q.s_g2 == p.s_g2
+
+
+def test_ec_fft_device_matches_host():
+    """Device EC-FFT (vectorized Jacobian butterflies) vs host path,
+    including an infinity lane and the scaled inverse transform."""
+    import random
+
+    from circuits_halo2_tpu.utils import ec_fft as EC
+
+    rng = random.Random(5)
+    k, n = 4, 16
+    omega = NTT.omega_for_k(k)
+    scalars = [rng.randrange(1, F.FR_MOD) for _ in range(n)]
+    points = [C.g1_mul(C.G1_GEN, s) for s in scalars]
+    points[7] = None  # infinity lane must ride through untouched
+    assert EC.ec_fft_device(points, omega) == ec_fft(points, omega)
+
+
+def test_g_to_lagrange_device_path():
+    """g_to_lagrange routed through the device EC-FFT (DEVICE_MIN forced
+    low) is identical to the analytic Lagrange SRS."""
+    from circuits_halo2_tpu.utils import ec_fft as EC
+
+    p = ParamsKZG.setup(4)
+    old = EC.DEVICE_MIN
+    EC.DEVICE_MIN = 1
+    try:
+        assert g_to_lagrange(p.g, 4) == p.g_lagrange
+    finally:
+        EC.DEVICE_MIN = old
