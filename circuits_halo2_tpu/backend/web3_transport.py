@@ -24,6 +24,7 @@ transport changes.
 
 from __future__ import annotations
 
+import json
 import threading
 from typing import Any
 
@@ -180,13 +181,26 @@ class FakeRpcProvider:
     transaction semantics: per-account strictly-sequential nonces (a reused
     or skipped nonce is rejected exactly like a mempool would)."""
 
-    def __init__(self, contract: SummaContractSim, address: str, chain_id: int = 31337):
+    def __init__(
+        self,
+        contract: SummaContractSim | None = None,
+        address: str | None = None,
+        chain_id: int = 31337,
+    ):
         self.contract = contract
-        self.address = address.lower()
+        self.address = address.lower() if address else None
         self.chain_id = chain_id
+        # deployed-contract registry: creation transactions land here and
+        # cross-contract calls (Summa -> IVerifier) route through it
+        self.contracts: dict[str, Any] = {}
+        if contract is not None and address is not None:
+            self.contracts[self.address] = contract
         self.nonces: dict[str, int] = {}
         self.receipts: dict[str, dict] = {}
         self._lock = threading.Lock()
+
+    def contract_at(self, address: str):
+        return self.contracts[address.lower()]
 
     # -- the provider surface (matches web3/ethers providers) ---------------
 
@@ -217,26 +231,76 @@ class FakeRpcProvider:
             if nonce > expected:
                 raise RpcError(-32000, "nonce too high")
             txh = "0x" + keccak256(data + nonce.to_bytes(8, "big") + sender.encode()).hex()
+            created = None
             try:
-                self._dispatch(tx["from"], data)
+                if not tx.get("to"):
+                    created = self._create(sender, data, nonce)
+                else:
+                    self._dispatch(tx["from"], data, tx.get("to"))
                 status = "0x1"
             except (ValueError, PermissionError):
                 status = "0x0"
             # the nonce is consumed either way (like a mined revert)
             self.nonces[sender] = expected + 1
-            self.receipts[txh] = {"transactionHash": txh, "status": status}
+            self.receipts[txh] = {
+                "transactionHash": txh,
+                "status": status,
+                "contractAddress": created,
+            }
             return txh
 
-    def _dispatch(self, sender: str, data: bytes):
+    def _create(self, sender: str, data: bytes, nonce: int) -> str:
+        """Contract-creation transaction. On this node the "initcode" is a
+        CREATE_PREFIX-tagged JSON container holding the contract SOURCE —
+        the executable form of code on this chain (the Yul verifier runs in
+        contracts/yul_vm, Solidity in contracts/sol_exec) — plus constructor
+        args. The deployed address derives from (sender, nonce) like CREATE."""
+        if not data.startswith(CREATE_PREFIX):
+            raise ValueError("creation data is not a recognized initcode container")
+        payload = json.loads(data[len(CREATE_PREFIX):])
+        addr = (
+            "0x"
+            + keccak256(sender.encode() + nonce.to_bytes(8, "big"))[-20:].hex()
+        )
+        lang, source = payload["lang"], payload["source"]
+        if lang == "yul":
+            obj = DeployedYulVerifier(source)
+        elif lang == "sol":
+            from ..contracts.sol_exec import SolSummaContract
+
+            vaddr, levels, ncur, nbytes = payload["args"]
+            vcontract = self.contract_at(vaddr)
+            obj = SolSummaContract(
+                lambda proof, inputs: vcontract.verify_proof(proof, inputs),
+                levels, ncur, nbytes, owner=sender, source_text=source,
+            )
+        else:
+            raise ValueError(f"unknown contract language {lang!r}")
+        self.contracts[addr] = obj
+        if self.contract is None:
+            # first Summa-shaped deployment becomes the default binding
+            if lang == "sol":
+                self.contract, self.address = obj, addr
+        return addr
+
+    def _route(self, to: str | None):
+        if to and to.lower() in self.contracts:
+            return self.contracts[to.lower()]
+        if self.contract is None:
+            raise RpcError(3, f"no contract at {to}")
+        return self.contract
+
+    def _dispatch(self, sender: str, data: bytes, to: str | None = None):
+        contract = self._route(to)
         sel, args = data[:4], data[4:]
         if sel == selector(SIG_OWNERSHIP):
             (proofs,) = decode_abi(_T_OWNERSHIP, args)
-            self.contract.submit_proof_of_address_ownership(
+            contract.submit_proof_of_address_ownership(
                 sender, [AddressOwnershipProof(*p) for p in proofs]
             )
         elif sel == selector(SIG_COMMITMENT):
             root, balances, cryptos, ts = decode_abi(_T_COMMITMENT, args)
-            self.contract.submit_commitment(
+            contract.submit_commitment(
                 sender, root, list(balances),
                 [Cryptocurrency(*c) for c in cryptos], ts,
             )
@@ -244,12 +308,13 @@ class FakeRpcProvider:
             raise ValueError(f"unknown selector {sel.hex()}")
 
     def _call(self, tx: dict) -> str:
+        contract = self._route(tx.get("to"))
         data = bytes.fromhex(tx["data"][2:])
         sel, args = data[:4], data[4:]
         if sel == selector(SIG_VERIFY):
             proof, inputs, ts = decode_abi(_T_VERIFY, args)
             try:
-                ok = self.contract.verify_inclusion_proof(bytes(proof), list(inputs), ts)
+                ok = contract.verify_inclusion_proof(bytes(proof), list(inputs), ts)
             except ValueError:
                 raise RpcError(3, "execution reverted")
             return "0x" + _enc_word(1 if ok else 0).hex()
@@ -305,3 +370,102 @@ class Web3SummaContract:
             "eth_call", [{"to": self.address, "data": "0x" + data.hex()}, "latest"]
         )
         return int(out, 16) == 1
+
+
+# ---------------------------------------------------------------------------
+# Deployment (reference: backend's deploy flow — ethers ContractFactory
+# deploys InclusionVerifier then Summa and records deployments.json,
+# `backend/src/contracts/mod.rs` + `scripts/update_verifier_contract.sh`)
+# ---------------------------------------------------------------------------
+
+# "initcode" container tag for this node: the executable form of code on
+# this chain is the contract SOURCE (Yul runs in contracts/yul_vm, the
+# Solidity subset in contracts/sol_exec).
+CREATE_PREFIX = b"CCTPU-CREATE1\x00"
+
+
+def encode_creation(lang: str, source: str, args: list | None = None) -> bytes:
+    return CREATE_PREFIX + json.dumps(
+        {"lang": lang, "source": source, "args": args or []}
+    ).encode()
+
+
+class DeployedYulVerifier:
+    """An InclusionVerifier deployed on the fake node: holds the contract
+    source; calls execute in the Yul VM with the full gas model."""
+
+    def __init__(self, source: str):
+        self.source = source
+
+    def verify_proof(self, proof: bytes, instances: list[int]) -> bool:
+        from ..contracts.yul_vm import run_verifier
+
+        return run_verifier(self.source, bytes(proof), list(instances))
+
+
+def _deploy_tx(provider: FakeRpcProvider, sender: str, data: bytes) -> str:
+    nonce = int(provider.request("eth_getTransactionCount", [sender, "pending"]), 16)
+    txh = provider.request(
+        "eth_sendTransaction",
+        [{"from": sender, "data": "0x" + data.hex(), "nonce": hex(nonce)}],
+    )
+    receipt = provider.request("eth_getTransactionReceipt", [txh])
+    if receipt["status"] != "0x1":
+        raise ValueError("deployment transaction reverted")
+    return receipt["contractAddress"]
+
+
+def deploy_summa(
+    artifacts,
+    mst_levels: int,
+    currencies_count: int,
+    balance_byte_range: int,
+    provider: FakeRpcProvider | None = None,
+    sender: str = "0xf39fd6e51aad88f6f4ce6ab8827279cfffb92266",
+    deployments_path: str | None = None,
+):
+    """Deploy round-trip against the in-process node: generate the verifier
+    from the live VK, deploy it, deploy the shipped ``Summa.sol`` pointing
+    at the verifier ADDRESS (cross-contract calls route through the node),
+    and record the receipt-derived addresses in ``deployments.json`` in the
+    shape ``SummaSigner``'s ``AddressInput`` resolves.
+
+    Returns ``(provider, summa_address, verifier_address)``.
+    """
+    import os
+
+    from ..contracts.sol_generator import SolidityGenerator
+
+    provider = provider or FakeRpcProvider()
+    verifier_src = SolidityGenerator(
+        artifacts.params, artifacts.vk, mst_levels
+    ).render()
+    vaddr = _deploy_tx(provider, sender, encode_creation("yul", verifier_src))
+    summa_src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "contracts", "solidity", "Summa.sol",
+        )
+    ).read()
+    saddr = _deploy_tx(
+        provider,
+        sender,
+        encode_creation(
+            "sol", summa_src,
+            [vaddr, mst_levels, currencies_count, balance_byte_range],
+        ),
+    )
+    if deployments_path is not None:
+        with open(deployments_path, "w") as f:
+            json.dump(
+                {
+                    str(provider.chain_id): {
+                        "address": saddr,
+                        "name": "Summa",
+                        "verifierAddress": vaddr,
+                    }
+                },
+                f,
+                indent=2,
+            )
+    return provider, saddr, vaddr

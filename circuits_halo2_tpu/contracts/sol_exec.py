@@ -798,7 +798,8 @@ class SolSummaContract:
 
     def __init__(self, verifier: Callable, mst_levels: int,
                  currencies_count: int, balance_byte_range: int,
-                 owner: str = "0xowner", source_path: str | None = None):
+                 owner: str = "0xowner", source_path: str | None = None,
+                 source_text: str | None = None):
         import os
 
         from .summa_sim import AddressOwnershipProof, Commitment, Cryptocurrency
@@ -806,11 +807,14 @@ class SolSummaContract:
         self._AOP = AddressOwnershipProof
         self._Cmt = Commitment
         self._Cur = Cryptocurrency
-        if source_path is None:
-            source_path = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "solidity", "Summa.sol"
-            )
-        src = open(source_path).read()
+        if source_text is not None:
+            src = source_text
+        else:
+            if source_path is None:
+                source_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "solidity", "Summa.sol"
+                )
+            src = open(source_path).read()
 
         def _verifier_iface(method, *args):
             assert method == "verifyProof", method

@@ -189,3 +189,47 @@ def test_gas_and_size_parity_with_reference(artifacts):
     size_ref = estimate_code_size(ref)
     size_ours = estimate_code_size(ours)
     assert abs(size_ours - size_ref) / size_ref < 0.20, (size_ours, size_ref)
+
+
+def test_deploy_roundtrip_real_artifacts(artifacts, tmp_path):
+    """Deploy round-trip against the in-process chain node (reference:
+    `scripts/update_verifier_contract.sh` + ethers ContractFactory deploys
+    in `backend/src/tests.rs:16-97`): the generated InclusionVerifier and
+    the shipped Summa.sol deploy via contract-creation transactions, the
+    receipt-derived address lands in deployments.json, SummaSigner's
+    AddressInput resolves it, and a real proof verifies end-to-end through
+    the Summa -> IVerifier CROSS-CONTRACT call on the node."""
+    from circuits_halo2_tpu.backend.signer import AddressInput
+    from circuits_halo2_tpu.backend.web3_transport import (
+        Web3SummaContract,
+        deploy_summa,
+    )
+    from circuits_halo2_tpu.contracts.summa_sim import Cryptocurrency
+    from circuits_halo2_tpu.merkle.mst import MerkleSumTree
+    from circuits_halo2_tpu.models.mst_inclusion import MstInclusionCircuit
+    from circuits_halo2_tpu.utils import pipeline
+
+    tree = MerkleSumTree.from_csv(str(HERE / "fixtures_csv" / "entry_16.csv"))
+    circ = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(0))
+    cd = pipeline.gen_proof_solidity_calldata(artifacts, circ)
+    proof = bytes.fromhex(cd.proof[2:]) if isinstance(cd.proof, str) else cd.proof
+    inst = [int(x, 16) if isinstance(x, str) else x for x in cd.public_inputs]
+
+    sender = "0xf39fd6e51aad88f6f4ce6ab8827279cfffb92266"
+    dep = tmp_path / "deployments.json"
+    provider, saddr, vaddr = deploy_summa(
+        artifacts, 4, 2, 8, sender=sender, deployments_path=str(dep)
+    )
+    assert saddr != vaddr and saddr.startswith("0x") and len(saddr) == 42
+    resolved = AddressInput(
+        deployments_path=str(dep), chain_id=provider.chain_id
+    ).resolve()
+    assert resolved == saddr
+
+    c = Web3SummaContract(provider, saddr)
+    cryptos = [Cryptocurrency("ETH", "ETH"), Cryptocurrency("USDT", "ETH")]
+    c.submit_commitment(sender, inst[1], inst[2:], cryptos, 1)
+    assert c.verify_inclusion_proof(proof, inst, 1)
+    bad = bytearray(proof)
+    bad[123] ^= 1
+    assert not c.verify_inclusion_proof(bytes(bad), inst, 1)
