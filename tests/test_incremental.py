@@ -155,3 +155,54 @@ def test_chain_snark_constant_verify():
     # corrupted proof rejected
     bad = proof[:200] + bytes([proof[200] ^ 1]) + proof[201:]
     assert not INC.verify_chain_snark(art, bad, inst, expected_roots=roots)
+
+
+def test_r1cs_step_circuit_satisfied():
+    """The synthesized IncrementalMstInclusion R1CS (circom artifact
+    equivalent, `incremental_mst_inclusion.circom` main = (4, 2, 14)) is
+    satisfied by the evaluated witness, its public wires match the state
+    chain, and corrupting any region of the witness breaks a constraint."""
+    from circuits_halo2_tpu.merkle import circom_r1cs as R
+
+    proof = CM.build_merkle_proof(STATES[0], 0)
+    r1cs, wit = R.build_incremental_mst_inclusion(proof, (0, 0))
+    assert r1cs.check(wit)
+    # public outputs = the IVC step results
+    assert wit[1] == CM.user_state_next(0, proof.username, proof.user_balances)
+    assert wit[2] == CM.liabilities_state_next(0, proof.root.hash)
+    assert wit[3] == 0 and wit[4] == 0  # step_in
+    # template accounting: 7 Poseidons (leaf t=4, 2 state t=3, 4 hasher t=7),
+    # 4 levels x (2 currencies x 2 sides + root) Num2Bits(112), 4 swappers
+    n_sbox = lambda t: 3 * (8 * t + R.PC.N_ROUNDS_P[t - 2])
+    poseidon_c = n_sbox(4) + 2 * n_sbox(3) + 4 * n_sbox(7)
+    bits_c = (4 * 2 * 2 + 2) * (112 + 1)
+    swap_c = 4 * (1 + 2 + 2 * 2)
+    assert len(r1cs.constraints) == poseidon_c + bits_c + swap_c + 2
+    # corrupt a path index -> booleanity/mux breaks
+    bad = list(wit)
+    bad[5 + 2 + 4 + 8] ^= 1  # first path_indices wire
+    assert not r1cs.check(bad)
+    # corrupt an internal S-box wire -> poseidon breaks
+    bad2 = list(wit)
+    bad2[len(wit) // 2] = (bad2[len(wit) // 2] + 1) % R.P
+    assert not r1cs.check(bad2)
+
+
+def test_r1cs_wtns_binary_roundtrip(tmp_path):
+    """.r1cs / .wtns artifacts in the iden3 binary layout parse back to the
+    identical system and still verify (snarkjs-interoperable shapes)."""
+    from circuits_halo2_tpu.merkle import circom_r1cs as R
+
+    proof = CM.build_merkle_proof(STATES[1], 2)
+    si = (123456789, 987654321)
+    r1cs, wit = R.build_incremental_mst_inclusion(proof, si)
+    rp, wp = str(tmp_path / "step.r1cs"), str(tmp_path / "step.wtns")
+    R.write_r1cs(r1cs, rp)
+    R.write_wtns(wit, wp)
+    r2, w2 = R.read_r1cs(rp), R.read_wtns(wp)
+    assert (r2.n_wires, r2.n_pub_out, r2.n_pub_in, r2.n_prv_in) == (
+        r1cs.n_wires, 2, 2, 19,
+    )
+    assert r2.constraints == r1cs.constraints
+    assert w2 == wit
+    assert r2.check(w2)
