@@ -276,6 +276,15 @@ def _setup():
 
 
 def main():
+    # campaign abort valve: lets a driver stop QUEUED stages cleanly
+    # (killing a TPU client mid-flight wedges the axon tunnel for ~30-45
+    # min — see PROGRESS.md; touching this sentinel instead makes the next
+    # stage process exit before it ever claims the device)
+    if os.path.exists(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_abort")
+    ):
+        print(json.dumps({"metric": "aborted", "value": 0, "unit": ""}))
+        return
     stages = os.environ.get("BENCH_STAGES", "build,keygen,prove,verify").split(",")
     log2 = int(os.environ.get("BENCH_TREE_LOG2", 16))
 

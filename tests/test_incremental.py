@@ -11,6 +11,7 @@ from pathlib import Path
 import pytest
 
 from circuits_halo2_tpu.merkle import circom_mst as CM
+from circuits_halo2_tpu.merkle import circom_r1cs as R
 from circuits_halo2_tpu.ops import poseidon_circom as PC
 
 HERE = Path(__file__).parent
@@ -206,3 +207,74 @@ def test_r1cs_wtns_binary_roundtrip(tmp_path):
     assert r2.constraints == r1cs.constraints
     assert w2 == wit
     assert r2.check(w2)
+
+
+def _toy_r1cs():
+    """out = x^3 + x over wires [1, out, x, x2, x3] (pub out, pub in)."""
+    from circuits_halo2_tpu.merkle.circom_r1cs import R1CS
+
+    cons = [
+        ({2: 1}, {2: 1}, {3: 1}),              # x*x = x2
+        ({3: 1}, {2: 1}, {4: 1}),              # x2*x = x3
+        ({4: 1, 2: 1, 1: R.P - 1}, {0: 1}, {}),  # x3 + x - out = 0
+    ]
+    return R1CS(5, 1, 1, 0, cons)
+
+
+def _toy_witness(x):
+    return [1, (x**3 + x) % R.P, x, x * x % R.P, x**3 % R.P]
+
+
+def test_nova_nifs_fold_chain():
+    """NIFS over relaxed R1CS: fold N strict instances into one
+    accumulator; verify = N O(1) instance folds + one relaxed-SAT check."""
+    from circuits_halo2_tpu.models import nova_fold as NF
+
+    r1cs = _toy_r1cs()
+    bases = NF.pedersen_bases(max(5, len(r1cs.constraints)))
+    wits = [_toy_witness(x) for x in (3, 5, 7)]
+    for w in wits:
+        assert r1cs.check(w)
+    acc_i, acc_w, steps = NF.fold_chain(r1cs, wits, bases)
+    # the folded accumulator is NOT a strict witness (E != 0) ...
+    assert any(acc_w.e) and acc_i.u != 1
+    # ... but satisfies the relaxed relation and the verifier accepts
+    assert NF.relaxed_check(r1cs, acc_i, acc_w, bases)
+    assert NF.verify_chain(r1cs, steps, acc_i, acc_w, bases)
+    # tampered accumulator witness -> reject
+    bad_w = NF.RelaxedWitness(list(acc_w.w), list(acc_w.e))
+    bad_w.e[0] = (bad_w.e[0] + 1) % R.P
+    assert not NF.verify_chain(r1cs, steps, acc_i, bad_w, bases)
+    # tampered cross-term commitment -> challenge shifts -> reject
+    bad_steps = list(steps)
+    si, _ = bad_steps[1]
+    bad_steps[1] = (si, NF.C.G1_GEN)
+    assert not NF.verify_chain(r1cs, bad_steps, acc_i, acc_w, bases)
+    # a non-witness step cannot be folded in silently: fold a bogus strict
+    # witness and the final relaxed check fails
+    bogus = _toy_witness(3)
+    bogus[1] = (bogus[1] + 1) % R.P  # wrong public output
+    acc_i2, acc_w2, steps2 = NF.fold_chain(r1cs, [wits[0], bogus], bases)
+    assert not NF.relaxed_check(r1cs, acc_i2, acc_w2, bases)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CIRCUITS_TPU_SLOW"),
+    reason="~minutes of host group ops; run with CIRCUITS_TPU_SLOW=1",
+)
+def test_nova_nifs_real_step_circuit():
+    """Fold two REAL IncrementalMstInclusion step witnesses (the circuit
+    the reference's Nova example folds) and verify the accumulator."""
+    from circuits_halo2_tpu.merkle import circom_r1cs as CR
+    from circuits_halo2_tpu.models import nova_fold as NF
+
+    p0 = CM.build_merkle_proof(STATES[0], 0)
+    r1cs, w0 = CR.build_incremental_mst_inclusion(p0, (0, 0))
+    us1 = CM.user_state_next(0, p0.username, p0.user_balances)
+    ls1 = CM.liabilities_state_next(0, p0.root.hash)
+    p1 = CM.build_merkle_proof(STATES[1], 0)
+    _, w1 = CR.build_incremental_mst_inclusion(p1, (us1, ls1))
+    n = max(r1cs.n_wires, len(r1cs.constraints))
+    bases = NF.pedersen_bases(n)
+    acc_i, acc_w, steps = NF.fold_chain(r1cs, [w0, w1], bases)
+    assert NF.verify_chain(r1cs, steps, acc_i, acc_w, bases)
