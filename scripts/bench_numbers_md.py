@@ -5,7 +5,6 @@ BASELINE.md (reference bench surface:
 
 import json
 import os
-import subprocess
 import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,18 +26,14 @@ def main():
             line = line.strip()
             if line:
                 rows.append(json.loads(line))
-    try:
-        dev = subprocess.run(
-            ["python", "-c", "import jax; print(jax.devices()[0])"],
-            capture_output=True, text=True, timeout=120,
-        ).stdout.strip().splitlines()[-1]
-    except Exception:
-        dev = "TPU v5 lite (axon tunnel)"
+    # NEVER probe jax.devices() here: this renderer runs while the bench
+    # campaign owns the axon tunnel, and a second client can wedge it.
+    dev = os.environ.get("BENCH_HW", "TPU v5 lite (single chip, axon tunnel)")
     date = time.strftime("%Y-%m-%d")
     out = [
         "# North-star benchmark numbers (measured in-tree)",
         "",
-        f"Hardware: {dev} (single chip, remote axon tunnel). Date: {date}.",
+        f"Hardware: {dev}. Date: {date}.",
         "Produced by `bash scripts/run_bench_campaign.sh` -> "
         "`BENCH_NUMBERS.jsonl` (raw lines, committed alongside).",
         "All times are steady-state (post-compile) unless marked cold.",
