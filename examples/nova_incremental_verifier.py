@@ -10,8 +10,12 @@ one verifiable chain. Two layers run here:
    liab_state_i = H(liab_state_{i-1}, root_hash_i).
 2. **TPU step-proof chain** (`models/incremental.py`): the same statement in
    the framework's PLONKish IR, one KZG+SHPLONK SNARK per round, chained by
-   public-input equality (Nova folding compresses these into one proof; here
-   each step is independently verifiable — see module docstring).
+   public-input equality (each step independently verifiable).
+3. **Nova NIFS accumulation** (`models/nova_fold.py` over
+   `merkle/circom_r1cs.py`): the reference's actual mechanism — every step
+   R1CS instance folds into ONE running committed relaxed instance; the
+   verifier replays N O(1) instance folds and runs a single relaxed-SAT
+   check (`nova_incremental_verifier.rs:170-198`).
 """
 
 import os
@@ -57,6 +61,24 @@ def main() -> None:
     print(f"chain verification: {time.time() - t0:.1f}s")
     print(f"user_state_cur at state 3 (proof chain):        {hex(chain.user_states[-1])}")
     print(f"liabilities_state_cur at state 3 (proof chain): {hex(chain.liab_states[-1])}")
+
+    # 3. Nova NIFS: fold the three step R1CS instances into one accumulator
+    from circuits_halo2_tpu.merkle import circom_r1cs as CR
+    from circuits_halo2_tpu.models import nova_fold as NF
+
+    t0 = time.time()
+    wits, r1cs, si = [], None, (0, 0)
+    for i, p in enumerate(proofs):
+        r1cs_i, w = CR.build_incremental_mst_inclusion(p, si)
+        r1cs = r1cs or r1cs_i
+        wits.append(w)
+        si = (w[1], w[2])  # step_out becomes next step_in
+    bases = NF.pedersen_bases(max(r1cs.n_wires, len(r1cs.constraints)))
+    acc_i, acc_w, steps = NF.fold_chain(r1cs, wits, bases)
+    assert NF.verify_chain(r1cs, steps, acc_i, acc_w, bases)
+    print(f"NIFS: folded {len(wits)} steps "
+          f"({len(r1cs.constraints)} constraints each) into one relaxed "
+          f"instance; verified in {time.time() - t0:.1f}s total")
 
 
 if __name__ == "__main__":
