@@ -283,7 +283,10 @@ def main():
     if os.path.exists(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_abort")
     ):
-        print(json.dumps({"metric": "aborted", "value": 0, "unit": ""}))
+        # stderr, NOT stdout: the campaign script appends stdout to
+        # BENCH_NUMBERS.jsonl and an abort notice is not a measurement
+        print("bench_suite: .bench_abort present, exiting before device claim",
+              file=sys.stderr)
         return
     stages = os.environ.get("BENCH_STAGES", "build,keygen,prove,verify").split(",")
     log2 = int(os.environ.get("BENCH_TREE_LOG2", 16))

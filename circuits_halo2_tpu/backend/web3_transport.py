@@ -284,10 +284,16 @@ class FakeRpcProvider:
         return addr
 
     def _route(self, to: str | None):
-        if to and to.lower() in self.contracts:
-            return self.contracts[to.lower()]
+        if to:
+            # an explicit target must resolve; silently falling back to the
+            # default binding would let a mis-addressed cross-contract call
+            # "succeed" against the wrong contract (a real node reverts)
+            try:
+                return self.contracts[to.lower()]
+            except KeyError:
+                raise RpcError(3, f"no contract at {to}") from None
         if self.contract is None:
-            raise RpcError(3, f"no contract at {to}")
+            raise RpcError(3, "no contract bound")
         return self.contract
 
     def _dispatch(self, sender: str, data: bytes, to: str | None = None):

@@ -41,16 +41,30 @@ from ..ops.keccak import keccak256
 # ---------------------------------------------------------------------------
 
 def pedersen_bases(n: int, points: list | None = None) -> list:
-    """n independent G1 bases. Pass an SRS ``.g`` slice for production-
-    grade bases (powers of tau are binding); without one, derive
-    deterministic test bases G_i = [keccak(i)]·G."""
+    """n independent G1 bases. Pass an SRS ``.g`` slice to reuse a
+    powers-of-tau ceremony; without one, derive bases by hash-to-curve
+    (try-and-increment), whose discrete logs are unknown to everyone —
+    required for the commitment to be binding."""
     if points is not None:
         assert len(points) >= n
         return points[:n]
-    return [
-        C.g1_mul(C.G1_GEN, int.from_bytes(keccak256(i.to_bytes(8, "big")), "big") % P)
-        for i in range(n)
-    ]
+    return [_hash_to_g1(b"nova-pedersen" + i.to_bytes(8, "big")) for i in range(n)]
+
+
+_FQ = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+
+def _hash_to_g1(seed: bytes):
+    """Try-and-increment hash-to-curve on BN254 G1 (y² = x³ + 3). Nobody
+    knows the discrete log of the output w.r.t. any fixed generator."""
+    ctr = 0
+    while True:
+        x = int.from_bytes(keccak256(seed + ctr.to_bytes(4, "big")), "big") % _FQ
+        y2 = (x * x % _FQ * x + 3) % _FQ
+        y = pow(y2, (_FQ + 1) // 4, _FQ)  # q ≡ 3 (mod 4)
+        if y * y % _FQ == y2:
+            return (x, min(y, _FQ - y))
+        ctr += 1
 
 
 def commit(vec: list[int], bases: list):
@@ -212,10 +226,31 @@ def verify_chain(
     acc_inst: RelaxedInstance,
     acc_wit: RelaxedWitness,
     bases: list,
+    z0: list[int] | None = None,
+    zn: list[int] | None = None,
 ) -> bool:
     """Verifier side: N−1 O(1) instance folds (group ops only) + ONE
     relaxed-SAT check on the final accumulator — the O(|C|·N) transcript
-    replay of the naive chain collapses to O(|C|) + N·O(1)."""
+    replay of the naive chain collapses to O(|C|) + N·O(1).
+
+    Soundness checks beyond the fold replay:
+    - every step instance must be STRICT (u == 1, E = 0): a relaxed step
+      would let a prover absorb any false statement into E;
+    - IVC linkage: step i's public inputs must equal step i−1's public
+      outputs (circom x layout = outputs ‖ inputs), and when (z0, zn) are
+      given, the chain is additionally pinned to start at z0 and end at zn.
+    """
+    no, ni = r1cs.n_pub_out, r1cs.n_pub_in
+    for si, _ in steps:
+        if si.u != 1 or si.com_e is not None:
+            return False  # non-strict step instance: E could hide anything
+    for prev, (si, _) in zip([s for s, _ in steps], [s for s in steps[1:]]):
+        if si.x[no : no + ni] != prev.x[:no]:
+            return False  # broken step-to-step state linkage
+    if z0 is not None and steps[0][0].x[no : no + ni] != list(z0):
+        return False
+    if zn is not None and steps[-1][0].x[:no] != list(zn):
+        return False
     acc = steps[0][0]
     for si, com_t in steps[1:]:
         acc = nifs_verify(acc, si, com_t)

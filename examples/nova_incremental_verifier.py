@@ -75,7 +75,10 @@ def main() -> None:
         si = (w[1], w[2])  # step_out becomes next step_in
     bases = NF.pedersen_bases(max(r1cs.n_wires, len(r1cs.constraints)))
     acc_i, acc_w, steps = NF.fold_chain(r1cs, wits, bases)
-    assert NF.verify_chain(r1cs, steps, acc_i, acc_w, bases)
+    # pinned endpoints: chain starts at the zero state and must end at the
+    # circom-chain's final (user_state, liabilities_state)
+    assert NF.verify_chain(r1cs, steps, acc_i, acc_w, bases,
+                           z0=[0, 0], zn=[user_states[-1], liab_states[-1]])
     print(f"NIFS: folded {len(wits)} steps "
           f"({len(r1cs.constraints)} constraints each) into one relaxed "
           f"instance; verified in {time.time() - t0:.1f}s total")

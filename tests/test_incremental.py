@@ -232,15 +232,20 @@ def test_nova_nifs_fold_chain():
 
     r1cs = _toy_r1cs()
     bases = NF.pedersen_bases(max(5, len(r1cs.constraints)))
-    wits = [_toy_witness(x) for x in (3, 5, 7)]
+    # genuinely chained IVC trace: x_{i+1} = out_i = x_i^3 + x_i
+    xs = [3]
+    for _ in range(2):
+        xs.append((xs[-1] ** 3 + xs[-1]) % R.P)
+    wits = [_toy_witness(x) for x in xs]
     for w in wits:
         assert r1cs.check(w)
+    z0, zn = [xs[0]], [(xs[-1] ** 3 + xs[-1]) % R.P]
     acc_i, acc_w, steps = NF.fold_chain(r1cs, wits, bases)
     # the folded accumulator is NOT a strict witness (E != 0) ...
     assert any(acc_w.e) and acc_i.u != 1
     # ... but satisfies the relaxed relation and the verifier accepts
     assert NF.relaxed_check(r1cs, acc_i, acc_w, bases)
-    assert NF.verify_chain(r1cs, steps, acc_i, acc_w, bases)
+    assert NF.verify_chain(r1cs, steps, acc_i, acc_w, bases, z0=z0, zn=zn)
     # tampered accumulator witness -> reject
     bad_w = NF.RelaxedWitness(list(acc_w.w), list(acc_w.e))
     bad_w.e[0] = (bad_w.e[0] + 1) % R.P
@@ -250,6 +255,23 @@ def test_nova_nifs_fold_chain():
     si, _ = bad_steps[1]
     bad_steps[1] = (si, NF.C.G1_GEN)
     assert not NF.verify_chain(r1cs, bad_steps, acc_i, acc_w, bases)
+    # wrong claimed endpoints -> reject
+    assert not NF.verify_chain(r1cs, steps, acc_i, acc_w, bases,
+                               z0=[xs[0] + 1], zn=zn)
+    assert not NF.verify_chain(r1cs, steps, acc_i, acc_w, bases,
+                               z0=z0, zn=[zn[0] + 1])
+    # a chain of UNLINKED (but individually valid) steps -> reject
+    unlinked = [_toy_witness(x) for x in (3, 5)]
+    ai, aw, st = NF.fold_chain(r1cs, unlinked, bases)
+    assert not NF.verify_chain(r1cs, st, ai, aw, bases)
+    # a non-strict step instance (u != 1 or E-commitment present) -> reject:
+    # a relaxed step with E := AZ∘BZ − u·CZ makes ANY public output
+    # "satisfiable", so strictness is load-bearing for soundness
+    forged = NF.RelaxedInstance(steps[1][0].com_w, NF.C.G1_GEN,
+                                steps[1][0].u, list(steps[1][0].x))
+    bad_steps2 = list(steps)
+    bad_steps2[1] = (forged, steps[1][1])
+    assert not NF.verify_chain(r1cs, bad_steps2, acc_i, acc_w, bases)
     # a non-witness step cannot be folded in silently: fold a bogus strict
     # witness and the final relaxed check fails
     bogus = _toy_witness(3)
