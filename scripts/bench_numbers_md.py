@@ -20,12 +20,15 @@ REF_NOTES = {
 
 
 def main():
-    rows = []
+    by_metric = {}
     with open(os.path.join(HERE, "BENCH_NUMBERS.jsonl")) as f:
         for line in f:
             line = line.strip()
             if line:
-                rows.append(json.loads(line))
+                r = json.loads(line)
+                # re-measured metrics (resumed campaigns) keep the latest row
+                by_metric[r["metric"]] = r
+    rows = list(by_metric.values())
     # NEVER probe jax.devices() here: this renderer runs while the bench
     # campaign owns the axon tunnel, and a second client can wedge it.
     dev = os.environ.get("BENCH_HW", "TPU v5 lite (single chip, axon tunnel)")
