@@ -83,6 +83,24 @@ def main() -> None:
           f"({len(r1cs.constraints)} constraints each) into one relaxed "
           f"instance; verified in {time.time() - t0:.1f}s total")
 
+    # 4. CompressedSNARK (Spartan + IPA-PC, `models/spartan.py`): replace
+    # the witness reveal with an O(log|C|) proof — the reference's
+    # CompressedSNARK stage (`nova_incremental_verifier.rs:199-226`)
+    from circuits_halo2_tpu.models import spartan as SP
+
+    t0 = time.time()
+    cproof = SP.compress(r1cs, acc_i, acc_w, bases)
+    t_prove = time.time() - t0
+    t0 = time.time()
+    assert SP.verify_chain_compressed(
+        r1cs, steps, acc_i, cproof, bases, n_w=len(acc_w.w),
+        z0=[0, 0], zn=[user_states[-1], liab_states[-1]])
+    t_verify = time.time() - t0
+    wit_bytes = 32 * (len(acc_w.w) + len(acc_w.e))
+    print(f"CompressedSNARK: {cproof.size_bytes()} bytes "
+          f"(vs {wit_bytes}-byte witness reveal), "
+          f"prove {t_prove:.1f}s / verify {t_verify:.1f}s")
+
 
 if __name__ == "__main__":
     main()
