@@ -217,29 +217,21 @@ def prove(
         [z_stack[:, :, : usable + 1], dom.cols_to_device(blind_cols)], axis=-1
     )
 
-    for pt in MSM.msm_commit_dev(params.g_lagrange, z_stack):
-        t.write_point(pt)
+    finish_z = MSM.msm_commit_dev_async(params.g_lagrange, z_stack)
 
     random_poly = [rng.next_field() for _ in range(n)]
     random_dev = dom.to_device(random_poly)  # coefficient form
-    t.write_point(MSM.msm_commit_dev(params.g, random_dev[:, None, :])[0])
-    y = t.squeeze_challenge()
-    _mark("phase3 grand products+commits")
+    finish_r = MSM.msm_commit_dev_async(params.g, random_dev[:, None, :])
 
-    # ---- batched Lagrange → coeff → extended transforms -------------------
-    # One concatenated (16, B, n) tensor; ONE batched iNTT gives every
-    # coefficient form (reused by phases 5/6), one batched coset-NTT gives
-    # every extended form (phase 4).
-    l0_vals = [0] * n
-    l0_vals[0] = 1
-    llast_vals = [0] * n
-    llast_vals[usable] = 1
-    lactive_vals = [1 if r < usable else 0 for r in range(n)]
-
-    group_tensors = [advice_dev, fixed_dev, inst_dev, sigma_dev]
-    group_names = ["advice", "fixed", "instance", "sigma"]
-    group_tensors.append(z_stack[:, :nperm])
-    group_names.append("perm_z")
+    # ---- pipelined Lagrange → coeff → extended transforms -----------------
+    # The per-proof ("dynamic") columns concatenate into ONE (16, B, n)
+    # tensor whose batched iNTT + coset NTT is dispatched BEFORE the phase-3
+    # commitments are materialized: the device overlaps the transforms with
+    # the host's commitment pull + transcript hashing (SURVEY §2c axis 4).
+    # Proof-independent columns (fixed/sigma/L0/L_last/L_active) come from
+    # the per-pk cache — transformed once, reused by every proof.
+    group_tensors = [advice_dev, inst_dev, z_stack[:, :nperm]]
+    group_names = ["advice", "instance", "perm_z"]
     if lookups:
         group_tensors.append(z_stack[:, nperm:])
         group_names.append("lookup_z")
@@ -251,27 +243,58 @@ def prove(
             jnp.stack([lk["sp_dev"] for lk in lookups], axis=1)
         )
         group_names.append("lookup_s")
-    group_tensors.append(dom.cols_to_device([l0_vals, llast_vals, lactive_vals]))
-    group_names.append("special")
 
-    offsets = {}
+    dyn_offsets = {}
     ptr = 0
     for name, tensor in zip(group_names, group_tensors):
-        offsets[name] = ptr
+        dyn_offsets[name] = ptr
         ptr += tensor.shape[1]
-    big = jnp.concatenate(group_tensors, axis=1)  # (16, B, n)
+    big_dyn = jnp.concatenate(group_tensors, axis=1)  # (16, B_dyn, n)
+
+    st_coeff, st_ext, st_offsets = _static_transform(pk, cs, dom, usable)
+    tfn, gfn = _split_quotient_fns(
+        pk, cs, dom, dyn_offsets, st_offsets, nperm, chunk, blinders
+    )
+    dyn_coeff, dyn_ext = tfn(big_dyn)  # async dispatch — overlaps finish_z
+
+    for pt in finish_z():
+        t.write_point(pt)
+    t.write_point(finish_r()[0])
+    y = t.squeeze_challenge()
+    _mark("phase3 grand products+commits")
+
+    # combined coefficient tensor + offset map for the evaluation phases
+    offsets = dict(dyn_offsets)
+    for name, off in st_offsets.items():
+        offsets[name] = ptr + off
+    big_coeff = jnp.concatenate([dyn_coeff, st_coeff], axis=1)
 
     # ---- phase 4: quotient on the extended domain -------------------------
-    # The entire phase — batched iNTT, coset NTT, every gate/permutation/
-    # lookup identity, the y-Horner fold, vanishing division, and the iNTT
-    # back to coefficient form — is ONE jitted dispatch. The callable is
-    # cached on the proving key; the Fiat–Shamir challenges enter as traced
-    # Montgomery scalars, so every proof after the first reuses the compiled
-    # executable (and on TPU the phase is a single tunnel round-trip).
-    qfn = _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders)
+    # Identity evaluation + y-Horner fold + vanishing division + iNTT back
+    # to coefficient form, ONE jitted dispatch (the transforms already ran
+    # above). Cached on the proving key; challenges enter as traced
+    # Montgomery scalars, so every proof after the first reuses the
+    # compiled executable.
     y_m = dom.to_device([y])
 
     if _diag:
+        # diagnostics path: the un-split one-big-tensor trace with labelled
+        # per-identity tensors
+        l0_vals = [0] * n
+        l0_vals[0] = 1
+        llast_vals = [0] * n
+        llast_vals[usable] = 1
+        lactive_vals = [1 if r < usable else 0 for r in range(n)]
+        big = jnp.concatenate(
+            [big_dyn, fixed_dev, sigma_dev,
+             dom.cols_to_device([l0_vals, llast_vals, lactive_vals])],
+            axis=1,
+        )
+        dofs = dict(dyn_offsets)
+        dofs["fixed"] = ptr + st_offsets["fixed"]
+        dofs["sigma"] = ptr + st_offsets["sigma"]
+        dofs["special"] = ptr + st_offsets["special"]
+        qfn = _quotient_fn(pk, cs, dom, dofs, nperm, chunk, blinders)
         _, _, diag_terms = qfn.eager(big, theta_m, beta_m, gamma_m, y_m)
         check_rows = [0, 1, 2, 3, 4, 5, 6, 42, 43, 44, 45, 46, 82]
         for label, term in diag_terms:
@@ -289,7 +312,7 @@ def prove(
                 print(f'ok  {label}')
         raise SystemExit(0)
 
-    big_coeff, h_coeff_dev = qfn(big, theta_m, beta_m, gamma_m, y_m)
+    h_coeff_dev = gfn(dyn_ext, st_ext, theta_m, beta_m, gamma_m, y_m)
 
     def cdev(v):
         return dom.const_dev(v % P)
@@ -508,8 +531,11 @@ def _phase56_fns(pk, cs, dom, offsets, num_h, sets):
     whole SHPLONK f_j/ν-fold with the chained linear divisions → h(X);
     ``open_wprime`` builds L(X)/(X-μ) → W'. The per-set point indices are a
     static argument (they only change if two opening points collide)."""
+    # keyed by (domain, column layout): the single prover's split layout
+    # and the batch prover's one-big-tensor layout use different offsets
+    okey = (id(dom),) + tuple(sorted(offsets.items()))
     cached = pk.__dict__.get("_phase56_cache")
-    if cached is not None and cached[0] is dom:
+    if cached is not None and cached[0] == okey:
         return cached[1]
 
     import functools
@@ -604,7 +630,7 @@ def _phase56_fns(pk, cs, dom, offsets, num_h, sets):
         return poly_device._divide_linear_dev(l_dev, pw, ipw, n)
 
     p56 = _Phase56(eval_all, open_w, open_wprime)
-    pk._phase56_cache = (dom, p56)
+    pk._phase56_cache = (okey, p56)
     return p56
 
 
@@ -724,10 +750,145 @@ def _phase23_fns(pk, cs, dom, usable, nperm, chunk):
     return ph
 
 
+def _gate_terms(cs, dom, ext_slice, theta_m, beta_m, gamma_m,
+                nperm, chunk, blinders):
+    """Every quotient-identity tensor (gates, permutation argument, lookup
+    argument) evaluated on the extended coset grid, as labelled terms.
+
+    ``ext_slice(name, idx)`` resolves a column group to its extended-form
+    tensor — the caller decides whether that comes from one concatenated
+    ``big`` tensor (batch prover, diagnostics) or from the split
+    dynamic/static tensors (the pipelined single prover)."""
+    last_rot = -(blinders + 1)
+    one = dom.const_dev(1)
+
+    def cdev(v):
+        return dom.const_dev(v % P)
+
+    rot_cache: dict = {}
+
+    def rot(kind, idx, r):
+        key = (kind, idx, r)
+        if key not in rot_cache:
+            base = ext_slice(kind, idx)
+            rot_cache[key] = base if r == 0 else dom.rotate_ext(base, r)
+        return rot_cache[key]
+
+    dev_ops = {
+        "constant": lambda v: cdev(v),
+        "fixed": lambda q, c, r: rot("fixed", c, r),
+        "advice": lambda q, c, r: rot("advice", c, r),
+        "instance": lambda q, c, r: rot("instance", c, r),
+        "negated": lambda a: FJ.neg_mod(a),
+        "sum": lambda a, b: FJ.add_mod(a, b),
+        "product": lambda a, b: FJ.mont_mul(a, b),
+        "scaled": lambda a, k: FJ.mont_mul(a, cdev(k)),
+        "selector": None,
+    }
+
+    l0_ext = ext_slice("special", 0)
+    llast_ext = ext_slice("special", 1)
+    lactive_ext = ext_slice("special", 2)
+    permz_ext = [ext_slice("perm_z", s) for s in range(nperm)]
+
+    terms = []
+    for gate in cs.gates:
+        for gi, polyexpr in enumerate(gate.polys):
+            terms.append((f"gate:{gate.name}:{gi}", polyexpr.evaluate(dev_ops)))
+
+    # permutation terms
+    z0 = permz_ext[0]
+    terms.append(("perm:l0", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z0))))
+    zl = permz_ext[-1]
+    terms.append(
+        ("perm:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(zl, zl), zl)))
+    )
+    for s in range(1, nperm):
+        prev_last = dom.rotate_ext(permz_ext[s - 1], last_rot)
+        terms.append(
+            ("perm:cont", FJ.mont_mul(l0_ext, FJ.sub_mod(permz_ext[s], prev_last)))
+        )
+
+    bx = FJ.mont_mul(beta_m, dom.x_ext)
+    col_idx = 0
+    for s in range(nperm):
+        cols = cs.permutation_columns[s * chunk : (s + 1) * chunk]
+        lhs = dom.rotate_ext(permz_ext[s], 1)
+        rhs = permz_ext[s]
+        for col in cols:
+            vals = rot(col.kind, col.index, 0)
+            sig = ext_slice("sigma", col_idx)
+            lhs = FJ.mont_mul(
+                lhs,
+                FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_m, sig)), gamma_m),
+            )
+            dp = cdev(pow(DELTA, col_idx, P))
+            rhs = FJ.mont_mul(
+                rhs, FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(dp, bx)), gamma_m)
+            )
+            col_idx += 1
+        terms.append((f"perm:set{s}", FJ.mont_mul(FJ.sub_mod(lhs, rhs), lactive_ext)))
+
+    # lookup terms
+    for li, lk in enumerate(cs.lookups):
+        z = ext_slice("lookup_z", li)
+        a_p = ext_slice("lookup_a", li)
+        s_p = ext_slice("lookup_s", li)
+        comp_in = None
+        for expr in lk.input_exprs:
+            v = expr.evaluate(dev_ops)
+            comp_in = (
+                v if comp_in is None
+                else FJ.add_mod(FJ.mont_mul(comp_in, theta_m), v)
+            )
+        comp_tab = None
+        for expr in lk.table_exprs:
+            v = expr.evaluate(dev_ops)
+            comp_tab = (
+                v if comp_tab is None
+                else FJ.add_mod(FJ.mont_mul(comp_tab, theta_m), v)
+            )
+        terms.append(("lookup:l0z", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z))))
+        terms.append(
+            ("lookup:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(z, z), z)))
+        )
+        lhs = FJ.mont_mul(
+            dom.rotate_ext(z, 1),
+            FJ.mont_mul(FJ.add_mod(a_p, beta_m), FJ.add_mod(s_p, gamma_m)),
+        )
+        rhs = FJ.mont_mul(
+            z,
+            FJ.mont_mul(FJ.add_mod(comp_in, beta_m), FJ.add_mod(comp_tab, gamma_m)),
+        )
+        terms.append(("lookup:main", FJ.mont_mul(lactive_ext, FJ.sub_mod(lhs, rhs))))
+        diff = FJ.sub_mod(a_p, s_p)
+        terms.append(("lookup:l0as", FJ.mont_mul(l0_ext, diff)))
+        a_prev = dom.rotate_ext(a_p, -1)
+        terms.append(
+            ("lookup:shuffle", FJ.mont_mul(
+                lactive_ext, FJ.mont_mul(diff, FJ.sub_mod(a_p, a_prev))
+            ))
+        )
+    return terms
+
+
+def _fold_terms(dom, terms, y_m):
+    """y-Horner fold of the quotient identities, vanishing division, and the
+    iNTT back to coefficient form → h(X) coefficients (16, n_ext)."""
+    numer = None
+    for _, term in terms:
+        term = jnp.broadcast_to(term, (16, dom.n_ext)).astype(jnp.uint32)
+        numer = term if numer is None else FJ.add_mod(FJ.mont_mul(numer, y_m), term)
+    h_ext = dom.divide_by_vanishing(numer)
+    return dom.extended_to_coeff(h_ext)
+
+
 def _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders):
-    """Quotient-phase evaluator: traces the circuit's full constraint system
-    (gates, permutation argument, lookup argument), the y-Horner fold and
-    the vanishing division into one jitted device function.
+    """Quotient-phase evaluator over ONE concatenated ``big`` tensor:
+    batched iNTT + coset NTT + every identity + y-fold + vanishing division
+    in one jitted device function (used by the batch prover and the
+    MockProver-style diagnostics; the single prover uses the pipelined
+    split path, ``_split_quotient_fns``).
 
     Cached on the proving key; rebuilt only if the (pk, domain) pair
     changes. The returned callable maps
@@ -735,13 +896,12 @@ def _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders):
     trace un-jitted and additionally returns the labelled per-identity
     tensors for the MockProver-style diagnostics path.
     """
+    okey = (id(dom),) + tuple(sorted(offsets.items()))
     cached = pk.__dict__.get("_quotient_fn_cache")
-    if cached is not None and cached[0] is dom:
+    if cached is not None and cached[0] == okey:
         return cached[1]
 
     import jax
-
-    last_rot = -(blinders + 1)
 
     def build(big, theta_m, beta_m, gamma_m, y_m):
         big_coeff = dom.lagrange_to_coeff(big)
@@ -750,122 +910,9 @@ def _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders):
         def ext_slice(name, idx):
             return big_ext[:, offsets[name] + idx]
 
-        one = dom.const_dev(1)
-
-        def cdev(v):
-            return dom.const_dev(v % P)
-
-        rot_cache: dict = {}
-
-        def rot(kind, idx, r):
-            key = (kind, idx, r)
-            if key not in rot_cache:
-                base = ext_slice(kind, idx)
-                rot_cache[key] = base if r == 0 else dom.rotate_ext(base, r)
-            return rot_cache[key]
-
-        dev_ops = {
-            "constant": lambda v: cdev(v),
-            "fixed": lambda q, c, r: rot("fixed", c, r),
-            "advice": lambda q, c, r: rot("advice", c, r),
-            "instance": lambda q, c, r: rot("instance", c, r),
-            "negated": lambda a: FJ.neg_mod(a),
-            "sum": lambda a, b: FJ.add_mod(a, b),
-            "product": lambda a, b: FJ.mont_mul(a, b),
-            "scaled": lambda a, k: FJ.mont_mul(a, cdev(k)),
-            "selector": None,
-        }
-
-        l0_ext = ext_slice("special", 0)
-        llast_ext = ext_slice("special", 1)
-        lactive_ext = ext_slice("special", 2)
-        permz_ext = [ext_slice("perm_z", s) for s in range(nperm)]
-
-        terms = []
-        for gate in cs.gates:
-            for gi, polyexpr in enumerate(gate.polys):
-                terms.append((f"gate:{gate.name}:{gi}", polyexpr.evaluate(dev_ops)))
-
-        # permutation terms
-        z0 = permz_ext[0]
-        terms.append(("perm:l0", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z0))))
-        zl = permz_ext[-1]
-        terms.append(
-            ("perm:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(zl, zl), zl)))
-        )
-        for s in range(1, nperm):
-            prev_last = dom.rotate_ext(permz_ext[s - 1], last_rot)
-            terms.append(
-                ("perm:cont", FJ.mont_mul(l0_ext, FJ.sub_mod(permz_ext[s], prev_last)))
-            )
-
-        bx = FJ.mont_mul(beta_m, dom.x_ext)
-        col_idx = 0
-        for s in range(nperm):
-            cols = cs.permutation_columns[s * chunk : (s + 1) * chunk]
-            lhs = dom.rotate_ext(permz_ext[s], 1)
-            rhs = permz_ext[s]
-            for col in cols:
-                vals = rot(col.kind, col.index, 0)
-                sig = ext_slice("sigma", col_idx)
-                lhs = FJ.mont_mul(
-                    lhs,
-                    FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(beta_m, sig)), gamma_m),
-                )
-                dp = cdev(pow(DELTA, col_idx, P))
-                rhs = FJ.mont_mul(
-                    rhs, FJ.add_mod(FJ.add_mod(vals, FJ.mont_mul(dp, bx)), gamma_m)
-                )
-                col_idx += 1
-            terms.append((f"perm:set{s}", FJ.mont_mul(FJ.sub_mod(lhs, rhs), lactive_ext)))
-
-        # lookup terms
-        for li, lk in enumerate(cs.lookups):
-            z = ext_slice("lookup_z", li)
-            a_p = ext_slice("lookup_a", li)
-            s_p = ext_slice("lookup_s", li)
-            comp_in = None
-            for expr in lk.input_exprs:
-                v = expr.evaluate(dev_ops)
-                comp_in = (
-                    v if comp_in is None
-                    else FJ.add_mod(FJ.mont_mul(comp_in, theta_m), v)
-                )
-            comp_tab = None
-            for expr in lk.table_exprs:
-                v = expr.evaluate(dev_ops)
-                comp_tab = (
-                    v if comp_tab is None
-                    else FJ.add_mod(FJ.mont_mul(comp_tab, theta_m), v)
-                )
-            terms.append(("lookup:l0z", FJ.mont_mul(l0_ext, FJ.sub_mod(one, z))))
-            terms.append(
-                ("lookup:llast", FJ.mont_mul(llast_ext, FJ.sub_mod(FJ.mont_mul(z, z), z)))
-            )
-            lhs = FJ.mont_mul(
-                dom.rotate_ext(z, 1),
-                FJ.mont_mul(FJ.add_mod(a_p, beta_m), FJ.add_mod(s_p, gamma_m)),
-            )
-            rhs = FJ.mont_mul(
-                z,
-                FJ.mont_mul(FJ.add_mod(comp_in, beta_m), FJ.add_mod(comp_tab, gamma_m)),
-            )
-            terms.append(("lookup:main", FJ.mont_mul(lactive_ext, FJ.sub_mod(lhs, rhs))))
-            diff = FJ.sub_mod(a_p, s_p)
-            terms.append(("lookup:l0as", FJ.mont_mul(l0_ext, diff)))
-            a_prev = dom.rotate_ext(a_p, -1)
-            terms.append(
-                ("lookup:shuffle", FJ.mont_mul(
-                    lactive_ext, FJ.mont_mul(diff, FJ.sub_mod(a_p, a_prev))
-                ))
-            )
-
-        numer = None
-        for _, term in terms:
-            term = jnp.broadcast_to(term, (16, dom.n_ext)).astype(jnp.uint32)
-            numer = term if numer is None else FJ.add_mod(FJ.mont_mul(numer, y_m), term)
-        h_ext = dom.divide_by_vanishing(numer)
-        h_coeff = dom.extended_to_coeff(h_ext)  # (16, n_ext)
+        terms = _gate_terms(cs, dom, ext_slice, theta_m, beta_m, gamma_m,
+                            nperm, chunk, blinders)
+        h_coeff = _fold_terms(dom, terms, y_m)  # (16, n_ext)
         return big_coeff, h_coeff, terms
 
     jitted = jax.jit(lambda *a: build(*a)[:2])
@@ -874,5 +921,79 @@ def _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders):
         return jitted(*a)
 
     call.eager = build
-    pk._quotient_fn_cache = (dom, call)
+    pk._quotient_fn_cache = (okey, call)
     return call
+
+
+def _static_transform(pk, cs, dom, usable):
+    """Coefficient + extended forms of the proof-independent columns
+    (fixed, sigma, L0/L_last/L_active), computed ONCE per proving key and
+    reused by every proof — these never change between proofs, so
+    re-transforming them per proof (as the one-big-tensor path does) is
+    pure waste. Returns (st_coeff, st_ext, st_offsets)."""
+    cached = pk.__dict__.get("_static_transform_cache")
+    if cached is not None and cached[0] is dom:
+        return cached[1]
+
+    vk = pk.vk
+    n = dom.n
+    l0_vals = [0] * n
+    l0_vals[0] = 1
+    llast_vals = [0] * n
+    llast_vals[usable] = 1
+    lactive_vals = [1 if r < usable else 0 for r in range(n)]
+
+    fixed_dev = dom.cols_to_device(vk.fixed_values)
+    sigma_dev = dom.cols_to_device(vk.sigma_values)
+    special = dom.cols_to_device([l0_vals, llast_vals, lactive_vals])
+    st_offsets = {
+        "fixed": 0,
+        "sigma": fixed_dev.shape[1],
+        "special": fixed_dev.shape[1] + sigma_dev.shape[1],
+    }
+    st_lagr = jnp.concatenate([fixed_dev, sigma_dev, special], axis=1)
+    st_coeff = dom.lagrange_to_coeff(st_lagr)
+    st_ext = dom.coeff_to_extended(st_coeff)
+    out = (st_coeff, st_ext, st_offsets)
+    pk._static_transform_cache = (dom, out)
+    return out
+
+
+def _split_quotient_fns(pk, cs, dom, dyn_offsets, st_offsets, nperm, chunk,
+                        blinders):
+    """Pipelined quotient phase (SURVEY §2c axis 4), two jitted pieces:
+
+    - ``transform(big_dyn) -> (dyn_coeff, dyn_ext)``: the challenge-
+      independent batched iNTT + coset NTT of the per-proof columns. The
+      prover dispatches this BEFORE materializing the phase-3 commitments,
+      so the device overlaps it with the host's transcript round-trip.
+    - ``gates(dyn_ext, st_ext, θ, β, γ, y) -> h_coeff``: identity
+      evaluation + y-fold + vanishing division, dispatched once y is known.
+
+    Cached on the proving key per domain."""
+    cached = pk.__dict__.get("_split_quotient_cache")
+    if cached is not None and cached[0] is dom:
+        return cached[1]
+
+    import jax
+
+    @jax.jit
+    def transform(big_dyn):
+        dyn_coeff = dom.lagrange_to_coeff(big_dyn)
+        return dyn_coeff, dom.coeff_to_extended(dyn_coeff)
+
+    @jax.jit
+    def gates(dyn_ext, st_ext, theta_m, beta_m, gamma_m, y_m):
+        def ext_slice(name, idx):
+            if name in st_offsets:
+                return st_ext[:, st_offsets[name] + idx]
+            return dyn_ext[:, dyn_offsets[name] + idx]
+
+        terms = _gate_terms(cs, dom, ext_slice, theta_m, beta_m, gamma_m,
+                            nperm, chunk, blinders)
+        return _fold_terms(dom, terms, y_m)
+
+    out = (transform, gates)
+    pk._split_quotient_cache = (dom, out)
+    return out
+

@@ -388,13 +388,14 @@ def _tree_sum_last(p):
     return tuple(c[..., -1:] for c in total)
 
 
-def _pippenger_core(xs, ys, valid, digits):
-    """Shape-polymorphic Pippenger body (trace-time shapes; reused by the
-    jitted single-device wrapper and by the shard_map distributed path).
+def _pippenger_windows(xs, ys, valid, digits):
+    """Shape-polymorphic Pippenger bucket stage: everything up to (and
+    including) the per-window sums, which is all the wide data-parallel
+    work. Returns a (16, nmsm, NWIN) Jacobian triple of window sums S_w.
 
     xs, ys: (16, n) affine Montgomery Fq coords; valid: (n,) bool (False =
     point at infinity); digits: (nmsm, NWIN, n) int32 byte digits (LE window
-    order). Returns a width-`nmsm` Jacobian point triple (16, nmsm)."""
+    order)."""
     n = xs.shape[1]
     nmsm = digits.shape[0]
 
@@ -446,7 +447,19 @@ def _pippenger_core(xs, ys, valid, digits):
     keep = jnp.arange(256) > 0
     suf = (suf[0], suf[1], jnp.where(keep[None, None, None], suf[2], 0))
     win = _tree_sum_last(suf)  # (16, B, W, 1)
-    win = tuple(c[..., 0] for c in win)  # (16, B, W)
+    return tuple(c[..., 0] for c in win)  # (16, B, W)
+
+
+def _pippenger_core(xs, ys, valid, digits):
+    """Bucket stage + in-graph window Horner → (16, nmsm) Jacobian points.
+
+    Used by the shard_map distributed path, where each shard must hand a
+    single point per MSM to the all_gather fold. The single-device wrappers
+    instead stop at `_pippenger_windows` and fold the 32 window sums
+    host-side (`_combine_windows_host`) — the in-graph Horner is 256
+    serial EC ops on (16, B)-sized tensors, pure dispatch latency."""
+    nmsm = digits.shape[0]
+    win = _pippenger_windows(xs, ys, valid, digits)
 
     # Horner over windows, MSB (window NWIN-1) first: acc = 2^8·acc + S_w
     def step(acc, s_w):
@@ -463,8 +476,40 @@ def _pippenger_core(xs, ys, valid, digits):
 
 @functools.partial(jax.jit, static_argnames=("n", "nmsm"))
 def _pippenger_device(xs, ys, valid, digits, n: int, nmsm: int):
-    """Single-device jitted Pippenger; (n, nmsm) pin the compiled shape."""
-    return _pippenger_core(xs, ys, valid, digits)
+    """Single-device jitted Pippenger bucket stage; (n, nmsm) pin the
+    compiled shape. Returns (16, nmsm, NWIN) window sums — the caller
+    combines windows host-side."""
+    return _pippenger_windows(xs, ys, valid, digits)
+
+
+def _combine_windows_host(acc) -> list:
+    """(16, B, NWIN) Jacobian window sums → B host affine points (or None).
+
+    acc_b = Σ_w 2^{8w}·S_{b,w} computed by the native host MSM over ≤32
+    tiny points per row — replaces the device Horner (256 sequential
+    small-tensor EC ops, the latency-bound tail of the device Pippenger;
+    the wide bucket work stays on device)."""
+    ax, ay, az = (np.asarray(c) for c in acc)
+    nb, nw = ax.shape[1], ax.shape[2]
+    q = F.FQ_MOD
+    rinv = pow(1 << 256, -1, q)
+    xs = [v * rinv % q for v in FJ.limbs_to_ints(ax.reshape(16, nb * nw))]
+    ys = [v * rinv % q for v in FJ.limbs_to_ints(ay.reshape(16, nb * nw))]
+    zs = [v * rinv % q for v in FJ.limbs_to_ints(az.reshape(16, nb * nw))]
+    out = []
+    for b_i in range(nb):
+        pts, scal = [], []
+        for w_i in range(nw):
+            i = b_i * nw + w_i
+            z = zs[i]
+            if z == 0:
+                continue
+            zi = pow(z, -1, q)
+            zi2 = zi * zi % q
+            pts.append((xs[i] * zi2 % q, ys[i] * zi2 % q * zi % q))
+            scal.append(1 << (WINDOW * w_i))
+        out.append(_msm_host(pts, scal) if pts else None)
+    return out
 
 
 _bases_cache: dict = {}
@@ -550,21 +595,23 @@ def msm_pippenger_device(points, scalar_rows):
     outs = []
     for lo in range(0, nmsm, chunk_b):
         digits = _scalars_to_digits(rows[lo : lo + chunk_b], n)
+        take = min(chunk_b, len(scalar_rows) - lo)
         if mesh is not None:
             from ..parallel import msm_sharded as _MSh
 
             acc = _MSh.msm_sharded_device(mesh, xs, ys, valid, jnp.asarray(digits))
+            ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
+            outs.extend(
+                jac_to_affine_host(
+                    (ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1])
+                )
+                for i in range(take)
+            )
         else:
             acc = _pippenger_device(
                 xs, ys, valid, jnp.asarray(digits), n, chunk_b
             )
-        ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
-        outs.extend(
-            jac_to_affine_host(
-                (ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1])
-            )
-            for i in range(min(chunk_b, len(scalar_rows) - lo))
-        )
+            outs.extend(_combine_windows_host(acc)[:take])
     return outs[: len(scalar_rows)]
 
 
@@ -585,7 +632,7 @@ def _commit_dev(xs, ys, valid, scal_mont, n: int, nmsm: int):
     if m < n:
         pad = jnp.zeros(digits.shape[:-1] + (n - m,), jnp.int32)
         digits = jnp.concatenate([digits, pad], axis=-1)
-    return _pippenger_core(xs, ys, valid, digits)
+    return _pippenger_windows(xs, ys, valid, digits)
 
 
 def msm_commit_dev(points, scal_mont):
@@ -597,6 +644,19 @@ def msm_commit_dev(points, scal_mont):
 
     On non-accelerator backends falls back to pulling the columns once and
     running the host (native C++) Pippenger.
+    """
+    return msm_commit_dev_async(points, scal_mont)()
+
+
+def msm_commit_dev_async(points, scal_mont):
+    """Async variant of ``msm_commit_dev``: dispatches the device work and
+    returns a zero-argument ``finish()`` that materializes the points.
+
+    The prover uses this to overlap commitment materialization (a host↔
+    device round-trip) with dispatching the NEXT phase's challenge-
+    independent transforms (SURVEY §2c axis 4 — pipeline across proof
+    phases): call async, enqueue the transforms, then finish() — the device
+    works through the queue while the host blocks on the commitment pull.
     """
     b = int(scal_mont.shape[1])
     if not (_device_enabled() and len(points) >= DEVICE_THRESHOLD):
@@ -610,7 +670,8 @@ def msm_commit_dev(points, scal_mont):
             vals = [v * r_inv % F.FR_MOD for v in FJ.limbs_to_ints(flat)]
         m = int(scal_mont.shape[2])
         rows = [vals[i * m : (i + 1) * m] for i in range(b)]
-        return [_msm_host(points[: len(row)], row) for row in rows]
+        out_host = [_msm_host(points[: len(row)], row) for row in rows]
+        return lambda: out_host
     xs, ys, valid = precompute_bases(points)
     n = int(xs.shape[1])
     nmsm = 1 << (max(1, b) - 1).bit_length()
@@ -632,16 +693,23 @@ def msm_commit_dev(points, scal_mont):
             accs.append(_MSh.commit_sharded_device(mesh, xs, ys, valid, sm))
         else:
             accs.append(_commit_dev(xs, ys, valid, sm, n, chunk_b))
-    out = []
-    for acc in accs:
-        ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
-        out.extend(
-            jac_to_affine_host(
-                (ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1])
+
+    def finish():
+        out = []
+        for acc in accs:
+            if acc[0].ndim == 3:  # (16, B, NWIN) window sums (single device)
+                out.extend(_combine_windows_host(acc))
+                continue
+            ax, ay, az = np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2])
+            out.extend(
+                jac_to_affine_host(
+                    (ax[:, i : i + 1], ay[:, i : i + 1], az[:, i : i + 1])
+                )
+                for i in range(ax.shape[1])
             )
-            for i in range(ax.shape[1])
-        )
-    return out[:b]
+        return out[:b]
+
+    return finish
 
 
 def _active_mesh(n: int):

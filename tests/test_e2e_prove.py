@@ -111,3 +111,27 @@ def test_mesh_prove_bit_identical(setup):
     finally:
         auto.set_mesh(None)
     assert proof_mesh == single, "mesh sharding changed proof bytes"
+
+
+def test_batch_prove_verifies_through_pipeline(setup):
+    """Transcript-pairing regression (round-3 campaign crash): prove_batch
+    with the native Blake2b transcript must verify through the same
+    Blake2b replay the pipeline verifier uses. The crashed batch bench
+    stage fed KECCAK-transcript proofs to the Blake2b verifier — a
+    harness mismatch that looked like a device-numerics failure on TPU
+    (diagnosed by scripts/diag_batch_tpu.py). Runs on the real chip too
+    with CIRCUITS_TPU_TEST_REAL=1."""
+    from circuits_halo2_tpu.models.prover_batch import prove_batch
+    from circuits_halo2_tpu.utils.transcript import Blake2bTranscript
+
+    s = setup
+    batch = prove_batch(
+        s["params"], s["pk"], [s["circuit"]], s["config"], [s["instances"]],
+        transcript_cls=Blake2bTranscript, vk_digest=s["vkd"])
+    assert verify(s["params"], s["vk"], s["instances"], batch[0],
+                  transcript_cls=Blake2bTranscript, vk_digest=s["vkd"])
+    # and the pipeline prover's bytes match the batch prover's (native path)
+    single = prove(
+        s["params"], s["pk"], s["circuit"], s["config"], s["instances"],
+        transcript_cls=Blake2bTranscript, vk_digest=s["vkd"])
+    assert batch[0] == single
