@@ -39,7 +39,8 @@ from .prover import (
     BlindingRng,
     _phase23_fns,
     _phase56_fns,
-    _quotient_fn,
+    _split_quotient_fns,
+    _static_transform,
 )
 from .verifier import num_perm_sets, perm_chunk_len, rotation_sets
 
@@ -47,10 +48,13 @@ P = F.FR_MOD
 
 
 def _batched_fns(pk, cs, dom, usable, nperm, chunk, blinders, offsets,
-                 num_h, sets, nusers: int, has_lookups: bool):
+                 dyn_offsets, st_offsets, num_h, sets, nusers: int,
+                 has_lookups: bool):
     """vmapped wrappers of the single-user jitted phase evaluators, cached
     per (domain, U). User axis is position 1 (after the limb axis) on every
-    per-user tensor; fixed/sigma columns are broadcast (in_axes=None)."""
+    per-user tensor; fixed/sigma/special columns are shared across users
+    (in_axes=None — transformed once per pk by _static_transform, never
+    per user)."""
     cache = pk.__dict__.setdefault("_batch_fns_cache", {})
     key = (id(dom), nusers)
     if key in cache:
@@ -58,7 +62,8 @@ def _batched_fns(pk, cs, dom, usable, nperm, chunk, blinders, offsets,
 
     ph = _phase23_fns(pk, cs, dom, usable, nperm, chunk)
     p56 = _phase56_fns(pk, cs, dom, offsets, num_h, sets)
-    qfn = _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders)
+    tfn, gfn = _split_quotient_fns(
+        pk, cs, dom, dyn_offsets, st_offsets, nperm, chunk, blinders)
 
     out = {}
     if has_lookups:
@@ -70,9 +75,9 @@ def _batched_fns(pk, cs, dom, usable, nperm, chunk, blinders, offsets,
     else:
         out["grand_nolk"] = jax.jit(jax.vmap(
             ph.grand_nolk, in_axes=(1, None, 1, None, 1, 1), out_axes=1))
-    out["quotient"] = jax.jit(jax.vmap(
-        lambda big, t, b, g, y: qfn.eager(big, t, b, g, y)[:2],
-        in_axes=(1, 1, 1, 1, 1), out_axes=(1, 1)))
+    out["transform"] = jax.jit(jax.vmap(tfn, in_axes=1, out_axes=(1, 1)))
+    out["gates"] = jax.jit(jax.vmap(
+        gfn, in_axes=(1, None, 1, 1, 1, 1), out_axes=1))
     out["eval_all"] = jax.jit(jax.vmap(
         p56.eval_all, in_axes=(1, 1, 1, 1, 1), out_axes=(1, 1, 1, 0)))
 
@@ -182,21 +187,24 @@ def _prove_batch_inner(params, pk, circuits, config, instances_list, rngs,
             ts[u].write_point(pt)
         thetas.append(ts[u].squeeze_challenge())
 
-    # offsets mirror prover.prove's column-group order exactly
-    offsets = {}
+    # offsets mirror prover.prove's split layout: dynamic (per-user) groups
+    # first, then the shared static groups from the per-pk transform cache
+    st_coeff, st_ext, st_offsets = _static_transform(pk, cs, dom, usable)
+    dyn_offsets = {}
     ptr = 0
-    group_sizes = [("advice", n_adv), ("fixed", fixed_dev.shape[1]),
-                   ("instance", inst_dev.shape[2]), ("sigma", sigma_dev.shape[1]),
-                   ("perm_z", nperm)]
+    dyn_sizes = [("advice", n_adv), ("instance", inst_dev.shape[2]),
+                 ("perm_z", nperm)]
     if nlk:
-        group_sizes += [("lookup_z", nlk), ("lookup_a", nlk), ("lookup_s", nlk)]
-    group_sizes.append(("special", 3))
-    for name, size in group_sizes:
-        offsets[name] = ptr
+        dyn_sizes += [("lookup_z", nlk), ("lookup_a", nlk), ("lookup_s", nlk)]
+    for name, size in dyn_sizes:
+        dyn_offsets[name] = ptr
         ptr += size
+    offsets = dict(dyn_offsets)
+    for name, off in st_offsets.items():
+        offsets[name] = ptr + off
 
     fns = _batched_fns(pk, cs, dom, usable, nperm, chunk, blinders, offsets,
-                       num_h, sets, U, bool(nlk))
+                       dyn_offsets, st_offsets, num_h, sets, U, bool(nlk))
 
     theta_m = jnp.stack([dom.to_device([th]) for th in thetas], axis=1)  # (16,U,1)
 
@@ -272,10 +280,23 @@ def _prove_batch_inner(params, pk, circuits, config, instances_list, rngs,
          dom.cols_to_device(blind_cols).reshape(16, U, nz, blinders)],
         axis=-1)
 
-    zpts = MSM.msm_commit_dev(params.g_lagrange, z_stack.reshape(16, U * nz, n))
+    finish_z = MSM.msm_commit_dev_async(
+        params.g_lagrange, z_stack.reshape(16, U * nz, n))
     random_cols = [[rngs[u].next_field() for _ in range(n)] for u in range(U)]
     random_dev = dom.cols_to_device(random_cols)  # (16, U, n) coefficient form
-    rpts = MSM.msm_commit_dev(params.g, random_dev)
+    finish_r = MSM.msm_commit_dev_async(params.g, random_dev)
+
+    # ---- pipelined batched transforms (challenge-independent) -------------
+    # dispatched before the phase-3 commitments are pulled, like the single
+    # prover; static columns come transformed from the per-pk cache
+    group_tensors = [advice_dev, inst_dev, z_stack[:, :, :nperm]]
+    if nlk:
+        group_tensors += [z_stack[:, :, nperm:], ap_stack, sp_stack]
+    big_dyn = jnp.concatenate(group_tensors, axis=2)  # (16, U, B_dyn, n)
+    dyn_coeff, dyn_ext = fns["transform"](big_dyn)
+
+    zpts = finish_z()
+    rpts = finish_r()
     ys = []
     for u in range(U):
         for pt in zpts[u * nz : (u + 1) * nz]:
@@ -284,28 +305,15 @@ def _prove_batch_inner(params, pk, circuits, config, instances_list, rngs,
         ys.append(ts[u].squeeze_challenge())
     y_m = jnp.stack([dom.to_device([y]) for y in ys], axis=1)
 
-    # ---- batched transforms + phase 4: quotient ---------------------------
-    l0_vals = [0] * n
-    l0_vals[0] = 1
-    llast_vals = [0] * n
-    llast_vals[usable] = 1
-    lactive_vals = [1 if r < usable else 0 for r in range(n)]
-    special = dom.cols_to_device([l0_vals, llast_vals, lactive_vals])
-    special_u = jnp.broadcast_to(
-        special[:, None], (16, U) + special.shape[1:]).astype(jnp.uint32)
-    fixed_u = jnp.broadcast_to(
-        fixed_dev[:, None], (16, U) + fixed_dev.shape[1:]).astype(jnp.uint32)
-    sigma_u = jnp.broadcast_to(
-        sigma_dev[:, None], (16, U) + sigma_dev.shape[1:]).astype(jnp.uint32)
-
-    group_tensors = [advice_dev, fixed_u, inst_dev, sigma_u,
-                     z_stack[:, :, :nperm]]
-    if nlk:
-        group_tensors += [z_stack[:, :, nperm:], ap_stack, sp_stack]
-    group_tensors.append(special_u)
-    big = jnp.concatenate(group_tensors, axis=2)  # (16, U, B, n)
-
-    big_coeff, h_coeff_dev = fns["quotient"](big, theta_m, beta_m, gamma_m, y_m)
+    # ---- phase 4: quotient ------------------------------------------------
+    h_coeff_dev = fns["gates"](dyn_ext, st_ext, theta_m, beta_m, gamma_m, y_m)
+    big_coeff = jnp.concatenate(
+        [dyn_coeff,
+         jnp.broadcast_to(
+             st_coeff[:, None], (16, U) + st_coeff.shape[1:]
+         ).astype(jnp.uint32)],
+        axis=2,
+    )  # (16, U, B, n) in the split offsets layout
 
     hpts = MSM.msm_commit_dev(
         params.g, h_coeff_dev[:, :, : num_h * n].reshape(16, U * num_h, n))

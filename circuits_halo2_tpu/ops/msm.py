@@ -287,27 +287,54 @@ def _log_steps(n: int) -> jnp.ndarray:
 def _roll_scan(p, n: int, direction: int, seg=None):
     """Hillis–Steele log-depth Jacobian sum scan along the last axis.
 
-    Each of the log2(n) steps rolls the tensors by a *traced* shift ``d``
-    and adds; rolled-around (or cross-segment, when ``seg`` is given) lanes
-    are masked to the EC identity (z=0), which ``jac_add`` absorbs. Using a
-    ``lax.scan`` over shifts keeps exactly ONE ``jac_add`` in the compiled
-    graph regardless of n — compile time stays flat as n grows (the naive
-    unrolled version took minutes of XLA time per shape).
-
     direction=+1: inclusive prefix scan (last lane of each segment holds the
     segment sum). direction=-1: inclusive suffix scan.
+
+    Two layout/compile constraints shape this implementation (both paid for
+    in device experiments):
+
+    - the ``lax.scan`` over shift distances keeps exactly ONE ``jac_add``
+      in the compiled graph regardless of n — a statically unrolled
+      variant is a compile bomb (each traced jac_add is ~5k HLO ops; 25 of
+      them wedged the remote XLA compile for >30 min);
+    - the scanned axis is transposed OFF the minor (lane) dimension before
+      scanning: a dynamic-shift roll on the lane axis lowers to per-lane
+      rotations (the dominant cost in the 2^13 device profile), while on a
+      major axis it is a contiguous block move. The batch axes collapse
+      into the minor dimension, keeping the 128-wide lanes full.
     """
+    batch = p[0].shape[1:-1]
+    m = 1
+    for s in batch:
+        m *= s
+    pt = tuple(
+        jnp.moveaxis(c, -1, 1).reshape((16, n, m)) for c in p
+    )
+    st = None
+    if seg is not None:
+        st = jnp.moveaxis(seg, -1, 0).reshape((n, m))
+    out = _roll_scan_axis1(pt, n, direction, st)
+    return tuple(
+        jnp.moveaxis(c.reshape((16, n) + batch), 1, -1) for c in out
+    )
+
+
+def _roll_scan_axis1(p, n: int, direction: int, seg=None):
+    """The scan itself: p tensors (16, n, m) scanned along axis 1; seg
+    (n, m) segment ids or None."""
     idx = jnp.arange(n, dtype=jnp.int32)
 
     def body(carry, d):
-        prev = tuple(jnp.roll(c, direction * d, axis=-1) for c in carry)
+        prev = tuple(jnp.roll(c, direction * d, axis=1) for c in carry)
         if direction > 0:
             valid = idx >= d
         else:
             valid = idx < n - d
         if seg is not None:
-            valid = valid & (jnp.roll(seg, direction * d, axis=-1) == seg)
-        pz = jnp.where(valid, prev[2], jnp.zeros_like(prev[2]))
+            vs = valid[:, None] & (jnp.roll(seg, direction * d, axis=0) == seg)
+            pz = jnp.where(vs[None], prev[2], jnp.zeros_like(prev[2]))
+        else:
+            pz = jnp.where(valid[None, :, None], prev[2], jnp.zeros_like(prev[2]))
         return jac_add(carry, (prev[0], prev[1], pz)), None
 
     out, _ = jax.lax.scan(body, p, _log_steps(n))
@@ -315,8 +342,17 @@ def _roll_scan(p, n: int, direction: int, seg=None):
 
 
 def _seg_chunk_len(n: int) -> int:
-    """Serial chunk length for the two-level segmented scan."""
-    return min(256, n // 64)
+    """Serial chunk length for the two-level segmented scan.
+
+    Smaller L = fewer serial steps but wider lanes per step AND a longer
+    chunk-total carry scan; device sweep at 2^13×4 (exp_msm_profile with
+    CIRCUITS_MSM_SEG_L) picked the default. Overridable for experiments."""
+    env = os.environ.get("CIRCUITS_MSM_SEG_L")
+    if env:
+        return max(4, min(int(env), n // 4))
+    # keep the chunk-total axis ≤ 512 so its carry scan stays in the
+    # static-unroll regime of _roll_scan
+    return max(16, n // 512)
 
 
 def _segmented_sum_parts(px, py, pvalid, seg):
