@@ -56,7 +56,8 @@ def _one_like(a: jax.Array) -> jax.Array:
     return jnp.broadcast_to(one.reshape((16,) + (1,) * (a.ndim - 1)), a.shape).astype(a.dtype)
 
 
-def _shift_scan(a: jax.Array, op, identity: jax.Array, reverse: bool) -> jax.Array:
+def _shift_scan_flat(a: jax.Array, op, identity: jax.Array, reverse: bool
+                     ) -> jax.Array:
     """Hillis–Steele inclusive scan along the last axis with a Montgomery
     binary op. lax.scan over the log2(n) shift distances keeps ONE op in
     the compiled graph regardless of n."""
@@ -75,6 +76,58 @@ def _shift_scan(a: jax.Array, op, identity: jax.Array, reverse: bool) -> jax.Arr
 
     out, _ = jax.lax.scan(body, a, shifts)
     return out
+
+
+def _shift_scan(a: jax.Array, op, identity: jax.Array, reverse: bool) -> jax.Array:
+    """Inclusive scan along the last axis, two-level on large n.
+
+    A dynamic-shift ``jnp.roll`` on the minor (lane) axis lowers to
+    per-lane rotations — the dominant cost of the flat Hillis–Steele form
+    on TPU (same finding as ops/msm._roll_scan). For n ≥ 4096 the scan is
+    restructured: the vector is laid out column-major as (n1 blocks ×
+    n2 lanes) so consecutive elements run down a MAJOR axis; the
+    intra-block scan rolls that major axis (contiguous block moves, full
+    128-lane minor), and the n2 block totals get a tiny flat scan before
+    broadcasting back. Small n keeps the flat form (the transposes don't
+    amortize)."""
+    n = a.shape[-1]
+    if n < 4096 or n & (n - 1):
+        return _shift_scan_flat(a, op, identity, reverse)
+    n2 = 128
+    n1 = n // n2
+    batch = a.shape[:-1]
+    # column-major layout: block j = elements [j*n1, (j+1)*n1)
+    at = jnp.swapaxes(a.reshape(batch + (n2, n1)), -1, -2)  # (..., n1, n2)
+    idx = jnp.arange(n1, dtype=jnp.int32)
+    shifts = jnp.asarray(
+        [1 << i for i in range(max(1, (n1 - 1).bit_length()))], dtype=jnp.int32
+    )
+    direction = -1 if reverse else 1
+    ident_col = identity[..., :1]
+
+    def body(carry, d):
+        prev = jnp.roll(carry, direction * d, axis=-2)
+        valid = (idx >= d) if not reverse else (idx < n1 - d)
+        prev = jnp.where(valid[:, None], prev, ident_col[..., None, :])
+        return op(carry, prev), None
+
+    intra, _ = jax.lax.scan(body, at, shifts)  # (..., n1, n2) inclusive
+
+    # cross-block combine: exclusive scan of the block totals (n2 lanes)
+    totals = intra[..., 0, :] if reverse else intra[..., -1, :]  # (..., n2)
+    tot_scan = _shift_scan_flat(totals, op, identity[..., :1], reverse)
+    if reverse:
+        carry_in = jnp.concatenate(
+            [tot_scan[..., 1:], jnp.broadcast_to(ident_col, tot_scan[..., :1].shape)],
+            axis=-1,
+        )
+    else:
+        carry_in = jnp.concatenate(
+            [jnp.broadcast_to(ident_col, tot_scan[..., :1].shape), tot_scan[..., :-1]],
+            axis=-1,
+        )
+    out = op(intra, carry_in[..., None, :])
+    return jnp.swapaxes(out, -1, -2).reshape(batch + (n,))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
