@@ -150,6 +150,8 @@ def bench_criterion():
     from circuits_halo2_tpu.utils import pipeline
     from circuits_halo2_tpu.utils.srs import ParamsKZG
 
+    # per-phase wall-clock of the k=13 prove into the campaign log (stderr)
+    os.environ.setdefault("CIRCUITS_PROVE_TRACE", "1")
     levels, ncur, nbytes, k = 20, 1, 8, 13
     n = 1 << levels
 
@@ -215,6 +217,7 @@ def bench_northstar():
     from circuits_halo2_tpu.utils import pipeline
     from circuits_halo2_tpu.utils.srs import ParamsKZG
 
+    os.environ.setdefault("CIRCUITS_PROVE_TRACE", "1")
     levels, ncur, nbytes, k = 16, 2, 8, 17
     n = 1 << levels
 

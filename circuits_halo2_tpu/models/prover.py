@@ -98,8 +98,12 @@ def prove(
         start_timer!/end_timer! equivalent (`circuits/utils.rs:53-105`)."""
         nonlocal _t0
         if _trace:
+            import sys
+
             now = time.perf_counter()
-            print(f"[prove] {label}: {now - _t0:.3f}s", flush=True)
+            # stderr: bench harnesses pipe stdout into BENCH_NUMBERS.jsonl
+            print(f"[prove] {label}: {now - _t0:.3f}s", file=sys.stderr,
+                  flush=True)
             _t0 = now
 
     t = transcript_cls()
