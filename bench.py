@@ -83,6 +83,17 @@ def _probe_tunnel() -> float:
 
 
 def main() -> None:
+    # take the tunnel lock BEFORE anything that can initialize the jax
+    # backend (importing the ops modules touches jnp constants): a second
+    # connected axon client starves the one doing work
+    import atexit
+
+    from circuits_halo2_tpu.utils.tpulock import TpuLock
+
+    lock = TpuLock()
+    lock.__enter__()
+    atexit.register(lock.__exit__, None, None, None)
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -121,17 +132,6 @@ def main() -> None:
 
         final_state, _ = jax.lax.scan(body, x0, None, length=iters)
         return final_state
-
-    # device init happens under the advisory tunnel lock (released by
-    # atexit below — the whole bench is device-resident work); wait for any
-    # running campaign stage instead of measuring a contended tunnel
-    import atexit
-
-    from circuits_halo2_tpu.utils.tpulock import TpuLock
-
-    lock = TpuLock()
-    lock.__enter__()
-    atexit.register(lock.__exit__, None, None, None)
 
     probe = _probe_tunnel()
     deadline = time.time() + float(os.environ.get("BENCH_PROBE_WAIT_S", 600))

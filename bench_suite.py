@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from circuits_halo2_tpu.utils import jaxcache  # noqa: E402
 
-jaxcache.enable()
+# NOTE: jaxcache.enable() initializes the jax backend, which CONNECTS THE
+# AXON TUNNEL — it must happen only after the tpulock is held (a second
+# connected client starves/deadlocks the one doing work), so it lives in
+# main() after lock acquisition, not at import time.
 
 
 def emit(metric, value, unit, extra=None):
@@ -318,6 +321,7 @@ def main():
     lock = TpuLock()
     lock.__enter__()
     atexit.register(lock.__exit__, None, None, None)
+    jaxcache.enable()
 
     # each stage is exception-isolated: one failing stage must not take the
     # rest of the campaign down with it (round 3: a batch_throughput assert

@@ -35,6 +35,8 @@ class TpuLock:
         self.acquired = False
 
     def __enter__(self):
+        if os.environ.get("JAX_PLATFORMS") == "cpu":
+            return self  # CPU-forced run: no tunnel involved, no lock
         self.fd = os.open(LOCK_PATH, os.O_CREAT | os.O_RDWR, 0o644)
         deadline = time.time() + self.wait_s
         notified = False
