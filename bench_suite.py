@@ -164,7 +164,11 @@ def bench_criterion():
     digests[0] = np.frombuffer(
         entry0.hashed_username.to_bytes(32, "big"), dtype=np.uint8
     )
-    balances = rng.integers(0, 1 << 48, size=(n, ncur), dtype=np.uint64)
+    # balances < 2^40: the LEVEL-20 root sum (~n·2^39 ≈ 2^59) must stay
+    # inside the N_BYTES=8 (2^64) range constraint — 48-bit balances made
+    # the upper-level sums overflow the range check and the prover
+    # (correctly) refused the witness with "quotient degree overflow"
+    balances = rng.integers(0, 1 << 40, size=(n, ncur), dtype=np.uint64)
     balances[0, 0] = entry0.balances[0]
 
     use_pallas = os.environ.get("JAX_PLATFORMS", "") != "cpu"

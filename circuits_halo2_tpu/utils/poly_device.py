@@ -11,6 +11,7 @@ scalars (transcript, commitments' scalar extraction).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +92,8 @@ def _shift_scan(a: jax.Array, op, identity: jax.Array, reverse: bool) -> jax.Arr
     broadcasting back. Small n keeps the flat form (the transposes don't
     amortize)."""
     n = a.shape[-1]
-    if n < 4096 or n & (n - 1):
+    min_n = int(os.environ.get("CIRCUITS_SCAN2_MIN", 4096))
+    if n < min_n or n & (n - 1):
         return _shift_scan_flat(a, op, identity, reverse)
     n2 = 128
     n1 = n // n2
