@@ -115,13 +115,15 @@ def bench_ntt(log2_n: int):
     vals = [rng.randrange(F.FR_MOD) for _ in range(n)]
     a = jax.numpy.asarray(FJ.ints_to_limbs([(v << 256) % F.FR_MOD for v in vals]))
     out = NTT.ntt(a, omega)
-    out.block_until_ready()
+    np.asarray(out[:, :1])  # materialize: block_until_ready does NOT
+    # fence remote axon execution (PROGRESS.md pitfalls) — the earlier
+    # 0.0s ntt rows measured dispatch time only
     iters = int(os.environ.get("BENCH_NTT_ITERS", 8))
     t0 = time.perf_counter()
     x = a
     for _ in range(iters):
         x = NTT.ntt(x, omega)
-    x.block_until_ready()
+    np.asarray(x[:, :1])
     dt = time.perf_counter() - t0
     butterflies = (n // 2) * log2_n * iters
     emit(

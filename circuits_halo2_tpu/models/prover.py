@@ -929,6 +929,48 @@ def _quotient_fn(pk, cs, dom, offsets, nperm, chunk, blinders):
     return call
 
 
+_chunk_tfn_cache: dict = {}
+
+
+def _chunk_tfn(dom):
+    """Jitted single-chunk Lagrange → (coeff, extended) transform."""
+    fn = _chunk_tfn_cache.get(id(dom))
+    if fn is None:
+        import jax
+
+        @jax.jit
+        def fn(sl):
+            c = dom.lagrange_to_coeff(sl)
+            return c, dom.coeff_to_extended(c)
+
+        _chunk_tfn_cache[id(dom)] = fn
+    return fn
+
+
+def transform_cols(dom, lagr):
+    """Lagrange → (coeff, extended) forms with a per-dispatch column
+    budget: the four-step NTT's intermediates cost ~1.7 GB per column at
+    k=17 (n_ext = 2^19), and transforming all ~15 static columns in one
+    jit compiled to a 24.9 GB program — over the v5e's 16 GB HBM. Columns
+    are transformed in HBM-capped slices (budget lanes / n_ext, override
+    with CIRCUITS_TRANSFORM_LANE_BUDGET) and concatenated on device."""
+    ncols = int(lagr.shape[1])
+    budget = max(
+        1,
+        int(os.environ.get("CIRCUITS_TRANSFORM_LANE_BUDGET", 1 << 21))
+        // dom.n_ext,
+    )
+    if ncols <= budget:
+        return _chunk_tfn(dom)(lagr)
+    fn = _chunk_tfn(dom)
+    cs_, es_ = [], []
+    for lo in range(0, ncols, budget):
+        c, e = fn(lagr[:, lo : lo + budget])
+        cs_.append(c)
+        es_.append(e)
+    return jnp.concatenate(cs_, axis=1), jnp.concatenate(es_, axis=1)
+
+
 def _static_transform(pk, cs, dom, usable):
     """Coefficient + extended forms of the proof-independent columns
     (fixed, sigma, L0/L_last/L_active), computed ONCE per proving key and
@@ -956,8 +998,7 @@ def _static_transform(pk, cs, dom, usable):
         "special": fixed_dev.shape[1] + sigma_dev.shape[1],
     }
     st_lagr = jnp.concatenate([fixed_dev, sigma_dev, special], axis=1)
-    st_coeff = dom.lagrange_to_coeff(st_lagr)
-    st_ext = dom.coeff_to_extended(st_coeff)
+    st_coeff, st_ext = transform_cols(dom, st_lagr)
     out = (st_coeff, st_ext, st_offsets)
     pk._static_transform_cache = (dom, out)
     return out
@@ -981,10 +1022,17 @@ def _split_quotient_fns(pk, cs, dom, dyn_offsets, st_offsets, nperm, chunk,
 
     import jax
 
-    @jax.jit
     def transform(big_dyn):
+        # HBM-capped chunked dispatches (see transform_cols)
+        return transform_cols(dom, big_dyn)
+
+    @jax.jit
+    def transform_whole(big_dyn):
+        # single-jit form for the batch prover's vmap (k=11-scale batches)
         dyn_coeff = dom.lagrange_to_coeff(big_dyn)
         return dyn_coeff, dom.coeff_to_extended(dyn_coeff)
+
+    transform.whole = transform_whole
 
     @jax.jit
     def gates(dyn_ext, st_ext, theta_m, beta_m, gamma_m, y_m):

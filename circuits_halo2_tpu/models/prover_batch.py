@@ -75,7 +75,7 @@ def _batched_fns(pk, cs, dom, usable, nperm, chunk, blinders, offsets,
     else:
         out["grand_nolk"] = jax.jit(jax.vmap(
             ph.grand_nolk, in_axes=(1, None, 1, None, 1, 1), out_axes=1))
-    out["transform"] = jax.jit(jax.vmap(tfn, in_axes=1, out_axes=(1, 1)))
+    out["transform"] = jax.jit(jax.vmap(tfn.whole, in_axes=1, out_axes=(1, 1)))
     out["gates"] = jax.jit(jax.vmap(
         gfn, in_axes=(1, None, 1, 1, 1, 1), out_axes=1))
     out["eval_all"] = jax.jit(jax.vmap(
