@@ -551,26 +551,28 @@ def _phase56_fns(pk, cs, dom, offsets, num_h, sets):
     @jax.jit
     def eval_all(big_coeff, h_coeff, random_dev, xn_pows, pts_m):
         npts = pts_m.shape[1]
-        pws = jnp.stack(
-            [poly_device._powers_dev(pts_m[:, i : i + 1], n) for i in range(npts)],
-            axis=1,
-        )  # (16, npts, n)
-        evs = poly_device.tree_sum_mod(
-            FJ.mont_mul(big_coeff[:, :, None, :], pws[:, None, :, :])
-        )[..., 0]  # (16, B, npts)
-        rnd = poly_device.tree_sum_mod(
-            FJ.mont_mul(random_dev[:, None, :], pws)
-        )[..., 0]  # (16, npts)
-        # x^n-combined quotient h(X) evaluated at the same points (keeps the
-        # O(num_h·n) fold and the per-point Horner off the host)
+        # x^n-combined quotient h(X) (keeps the O(num_h·n) fold and the
+        # per-point Horner off the host)
         h_pieces = h_coeff[:, : num_h * n].reshape(16, num_h, n)
         h_combined = None
         for i in range(num_h):
             piece = FJ.mont_mul(h_pieces[:, i], xn_pows[:, i : i + 1])
             h_combined = piece if h_combined is None else FJ.add_mod(h_combined, piece)
-        quot = poly_device.tree_sum_mod(
-            FJ.mont_mul(h_combined[:, None, :], pws)
-        )[..., 0]  # (16, npts)
+        # one point at a time: the all-points-at-once product materialized
+        # a (limbs, B, npts, n) intermediate that XLA padded to 66 GB at
+        # k=17 — per point the temp is (limbs, B, n), well inside HBM
+        evs_l, rnd_l, quot_l = [], [], []
+        for i in range(npts):
+            pw = poly_device._powers_dev(pts_m[:, i : i + 1], n)  # (16, n)
+            evs_l.append(poly_device.tree_sum_mod(
+                FJ.mont_mul(big_coeff, pw[:, None, :]))[..., 0])  # (16, B)
+            rnd_l.append(poly_device.tree_sum_mod(
+                FJ.mont_mul(random_dev, pw))[..., 0])             # (16,)
+            quot_l.append(poly_device.tree_sum_mod(
+                FJ.mont_mul(h_combined, pw))[..., 0])             # (16,)
+        evs = jnp.stack(evs_l, axis=-1)   # (16, B, npts)
+        rnd = jnp.stack(rnd_l, axis=-1)   # (16, npts)
+        quot = jnp.stack(quot_l, axis=-1)  # (16, npts)
         tail_zero = jnp.all(h_coeff[:, num_h * n :] == 0)
         return evs, rnd, quot, tail_zero
 
