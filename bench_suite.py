@@ -56,6 +56,18 @@ def bench_build(log2_leaves: int):
         "s",
         {"hashes_per_sec": round(total_hashes / dt, 1)},
     )
+
+    # sorted variant (`benches/full_solvency_flow.rs:35-50`): host argsort
+    # over usernames + the same device build (kernels already warm)
+    from circuits_halo2_tpu.merkle.device_tree import build_device_tree_sorted
+
+    usernames = rng.integers(0, 256, size=(n, 8), dtype=np.uint8).view("S8")[:, 0]
+    t0 = time.perf_counter()
+    stree, _ = build_device_tree_sorted(
+        usernames, digests, balances, use_pallas=use_pallas
+    )
+    stree.root()
+    emit(f"mst_build_sorted_2^{log2_leaves}", time.perf_counter() - t0, "s")
     return root
 
 
@@ -182,6 +194,17 @@ def bench_criterion():
     tree.root()
     emit("criterion_build_2^20", time.perf_counter() - t0, "s",
          {"cold_s": round(cold, 3)})
+
+    # sorted-build criterion stage (`full_solvency_flow.rs:35-50`)
+    from circuits_halo2_tpu.merkle.device_tree import build_device_tree_sorted
+
+    usernames = rng.integers(0, 256, size=(n, 8), dtype=np.uint8).view("S8")[:, 0]
+    t0 = time.perf_counter()
+    stree, _ = build_device_tree_sorted(
+        usernames, digests, balances, use_pallas=use_pallas
+    )
+    stree.root()
+    emit("criterion_build_sorted_2^20", time.perf_counter() - t0, "s")
 
     here = os.path.dirname(os.path.abspath(__file__))
     srs_cache = os.path.join(here, ".bench_srs_k13.bin")
@@ -368,7 +391,23 @@ def main():
     if not ({"keygen", "prove", "verify", "throughput", "batch_throughput"}
             & set(stages)):
         sys.exit(1 if failures else 0)
-    art = _setup()
+
+    # setup is exception-isolated too (ADVICE r4): a keygen failure aborts
+    # only the stages that depend on its artifacts, not the exit accounting
+    art = None
+
+    def _do_setup():
+        nonlocal art
+        art = _setup()
+
+    run_stage("setup", _do_setup)
+    if art is None:
+        print(
+            "bench_suite: setup failed — skipping keygen/prove/verify/"
+            "throughput stages",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     from circuits_halo2_tpu.merkle.mst import MerkleSumTree
     from circuits_halo2_tpu.models.mst_inclusion import MstInclusionCircuit
@@ -381,8 +420,9 @@ def main():
     circuit = MstInclusionCircuit.init(4, 2, 8, tree.generate_proof(0))
     instances = circuit.instances()
 
-    proof = None
-    if "prove" in stages:
+    proof_box = [None]
+
+    def _prove_stage():
         t0 = time.perf_counter()
         proof = pipeline.full_prover(art, circuit, instances)
         cold = time.perf_counter() - t0
@@ -396,13 +436,15 @@ def main():
             "s",
             {"proof_bytes": len(proof), "cold_s": round(cold, 3)},
         )
+        proof_box[0] = proof
 
-    if "verify" in stages and proof is not None:
+    def _verify_stage():
         t0 = time.perf_counter()
-        ok = pipeline.full_verifier(art, proof, instances)
+        ok = pipeline.full_verifier(art, proof_box[0], instances)
         emit("verify_mst_inclusion_k11", time.perf_counter() - t0, "s", {"ok": ok})
+        assert ok, "k11 proof failed to verify"
 
-    if "throughput" in stages:
+    def _throughput_stage():
         # sustained multi-user proving (the product workload: one proof per
         # user, embarrassingly parallel across users — SURVEY §7); steady
         # state after the cold compile above.
@@ -420,6 +462,15 @@ def main():
             "proofs/min",
             {"users": users, "total_s": round(dt, 2), "incl_verify": True},
         )
+
+    if "prove" in stages:
+        run_stage("prove", _prove_stage)
+
+    if "verify" in stages and proof_box[0] is not None:
+        run_stage("verify", _verify_stage)
+
+    if "throughput" in stages:
+        run_stage("throughput", _throughput_stage)
 
     if "batch_throughput" in stages:
         run_stage("batch_throughput", _bench_batch_throughput, art, tree)

@@ -6,10 +6,21 @@ build on device:
 
 - usernames (keccak digests) and u64 balances are converted to 15-bit limb
   arrays with vectorized numpy bit-slicing (no per-element Python);
-- one device Montgomery-domain conversion (×R15² REDC) per input column;
-- every level is one batched Poseidon dispatch (pallas kernel) plus a
-  pairwise balance addition;
+- balance sums are accumulated in RAW (non-Montgomery) limb form: real
+  liability sums are < 2^84 (2^20 entries × u64), so limb adds are exact at
+  any depth with no modular drift. They are converted to the R15-Montgomery
+  domain only where they enter a hash preimage, inside the same jitted chunk
+  as the Poseidon dispatch (one REDC per node per level — negligible next to
+  the 64-round permutation, and no extra device round trips);
+- every level is one batched convert+Poseidon dispatch (pallas kernel) plus
+  a pairwise balance addition;
 - only the root (and any queried nodes) are converted back to integers.
+
+Keeping sums Montgomery-resident and adding them per level (the round-4
+design) is NOT sound: Montgomery values are full-width field elements, so
+level-L sums reach 2^L·p and leave the [0, ~5p) envelope the redundant-limb
+hash kernel assumes — wrong hashes from the 6th reduction level up. The raw
+representation makes the accumulated value physically small instead.
 
 Matches merkle/mst.py bit-exactly (tested); replaces the reference's rayon
 build (`zk_prover/src/merkle_sum_tree/utils/build_tree.rs`) for the
@@ -73,19 +84,7 @@ def digests_to_limbs15(digests: np.ndarray) -> np.ndarray:
 def _to_mont_dev(raw: jax.Array) -> jax.Array:
     """Raw-value limbs → R15-Montgomery via one REDC with R15² (values may
     exceed p; the congruence fold bounds them into the working envelope)."""
-    t = PF._fold(PF._mul_columns(raw, jnp.asarray(_R2_LIMBS), NL, 2 * NL))
-    np15 = jnp.asarray(PF._NP15)
-    p15 = jnp.asarray(PF._P15)
-    k15 = jnp.asarray(PF._K15)
-    m = PF._fold(PF._mul_columns(t[: PF.LOW], np15, PF.LOW, PF.LOW))[: PF.LOW]
-    mn = PF._mul_columns(m, p15, PF.LOW, 2 * NL)
-    s = PF._fold(PF._fold(t[: 2 * NL] + mn))
-    carry = jnp.any(s[: PF.LOW] != 0, axis=0).astype(jnp.uint32)
-    out = jnp.concatenate(
-        [(s[PF.LOW] + carry)[None], s[PF.LOW + 1 : PF.LOW + NL]], axis=0
-    )
-    folded = PF._fold(out[: PF.LOW] + out[PF.LOW] * k15)
-    return folded[:NL]
+    return _to_mont_trace(raw)
 
 
 class DeviceMst:
@@ -94,23 +93,26 @@ class DeviceMst:
     def __init__(self, level_hashes, level_balances, depth, n_currencies,
                  user_limbs=None):
         self.level_hashes = level_hashes      # [(NL, n_l)] fat Montgomery
-        self.level_balances = level_balances  # [(C, NL, n_l)]
+        self.level_balances = level_balances  # [(C, NL, n_l)] RAW limbs
         self.depth = depth
         self.n_currencies = n_currencies
-        self.user_limbs = user_limbs          # (NL, n) leaf username hashes
+        self.user_limbs = user_limbs          # (NL, n) leaf username hashes (Montgomery)
 
     @staticmethod
     def _val(col) -> int:
         """(NL, 1) fat-Montgomery limb column → canonical integer."""
         return PF.limbs15_to_ints(np.asarray(col))[0] * PF.R15_INV % P
 
+    @staticmethod
+    def _val_raw(col) -> int:
+        """(NL, 1) raw limb column (balance sums) → integer (exact)."""
+        return PF.limbs15_to_ints(np.asarray(col))[0]
+
     def root(self):
         """(root_hash, [root_balances]) as canonical integers."""
         h = PF.limbs15_to_ints(np.asarray(self.level_hashes[-1]))[0]
         bals = [
-            PF.limbs15_to_ints(np.asarray(self.level_balances[-1][c]))[0]
-            * PF.R15_INV
-            % P
+            PF.limbs15_to_ints(np.asarray(self.level_balances[-1][c]))[0] % P
             for c in range(self.n_currencies)
         ]
         return h * PF.R15_INV % P, bals
@@ -128,7 +130,7 @@ class DeviceMst:
         c = self.n_currencies
         sib = index ^ 1
         sibling_leaf_preimage = [self._val(self.user_limbs[:, sib : sib + 1])] + [
-            self._val(self.level_balances[0][i, :, sib : sib + 1])
+            self._val_raw(self.level_balances[0][i, :, sib : sib + 1])
             for i in range(c)
         ]
         middles = []
@@ -139,7 +141,7 @@ class DeviceMst:
             if level >= 1:
                 s = cur ^ 1
                 bal = [
-                    self._val(self.level_balances[level][i, :, s : s + 1])
+                    self._val_raw(self.level_balances[level][i, :, s : s + 1])
                     for i in range(c)
                 ]
                 lh = self._val(self.level_hashes[level - 1][:, 2 * s : 2 * s + 1])
@@ -170,72 +172,140 @@ def build_device_tree(
 
     # whole-chunk jit: one device dispatch per chunk (the tunnel's per-op
     # latency dominates otherwise); inner pallas calls inline.
-    base_fn = _jitted_hash(use_pallas)
     # fixed chunk widths → a small closed set of compiled shapes regardless
     # of tree size (each new shape costs minutes through the remote compiler)
     chunks = (8192, PPL2.TILE) if use_pallas else (8192, 256)
+    leaf_fn = _jitted_leaf(use_pallas)
+    level_fn = _jitted_level(use_pallas)
 
-    def hash_fn(x):
-        n_in = x.shape[-1]
-        outs = []
-        ofs = 0
-        while ofs < n_in:
-            remaining = n_in - ofs
-            size = next((c for c in chunks if c <= remaining), chunks[-1])
-            piece = x[..., ofs : ofs + size]
-            if piece.shape[-1] < size:  # tail: pad up to the smallest chunk
-                piece = jnp.concatenate(
-                    [
-                        piece,
-                        jnp.zeros(
-                            piece.shape[:-1] + (size - piece.shape[-1],),
-                            jnp.uint32,
-                        ),
-                    ],
-                    axis=-1,
-                )
-            outs.append(base_fn(piece))
-            ofs += size
-        return jnp.concatenate(outs, axis=-1)[..., :n_in] if len(outs) > 1 else outs[0][..., :n_in]
+    user_raw = jnp.asarray(digests_to_limbs15(hashed_usernames))
+    bal_raw = jnp.stack(
+        [jnp.asarray(u64_to_limbs15(balances[:, c])) for c in range(ncur)]
+    )  # (C, NL, n) raw limbs — exact integers, stay raw for the whole build
 
-    def padded(x):
-        return x  # chunking handles shapes
-
-    user_limbs = _to_mont_dev(jnp.asarray(digests_to_limbs15(hashed_usernames)))
-    bal_limbs = [
-        _to_mont_dev(jnp.asarray(u64_to_limbs15(balances[:, c])))
-        for c in range(ncur)
-    ]
-    leaf_pre = jnp.stack([user_limbs] + bal_limbs)  # (C+1, NL, n)
-    leaf_hashes = hash_fn(padded(leaf_pre))[:, :n]
+    user_limbs = _chunked(_jitted_mont(), chunks, [user_raw], n)
+    leaf_hashes = _chunked(leaf_fn, chunks, [user_raw, bal_raw], n)
 
     level_hashes = [leaf_hashes]
-    level_balances = [jnp.stack(bal_limbs)]  # (C, NL, n)
+    level_balances = [bal_raw]
 
     for _ in range(depth):
         h = level_hashes[-1]
         b = level_balances[-1]
         left_h, right_h = h[:, 0::2], h[:, 1::2]
         left_b, right_b = b[:, :, 0::2], b[:, :, 1::2]
-        sums = _add_dev(left_b, right_b)
-        preimage = jnp.concatenate(
-            [sums, left_h[None], right_h[None]], axis=0
-        )  # (C+2, NL, n/2)
-        new_h = hash_fn(padded(preimage))[:, : sums.shape[-1]]
+        sums = _add_dev(left_b, right_b)  # raw limb add — exact, no drift
+        new_h = _chunked(level_fn, chunks, [sums, left_h, right_h], sums.shape[-1])
         level_hashes.append(new_h)
         level_balances.append(sums)
 
     return DeviceMst(level_hashes, level_balances, depth, ncur, user_limbs)
 
 
+def build_device_tree_sorted(
+    usernames: np.ndarray,
+    hashed_usernames: np.ndarray,
+    balances: np.ndarray,
+    use_pallas: bool = True,
+):
+    """Sorted variant of the device build (reference ``from_csv_sorted``,
+    `zk_prover/src/merkle_sum_tree/mst.rs:74-100` and the criterion stage
+    `benches/full_solvency_flow.rs:35-50`): entries are ordered by username
+    before the build so lookups can binary-search. The sort is a host
+    ``np.argsort`` over the username array (vectorized — no per-element
+    Python); the device build is identical.
+
+    Returns (DeviceMst, order) where ``order[i]`` is the original index of
+    the entry now at sorted position i."""
+    order = np.argsort(np.asarray(usernames), kind="stable")
+    tree = build_device_tree(
+        hashed_usernames[order], balances[order], use_pallas=use_pallas
+    )
+    return tree, order
+
+
+def _chunked(fn, chunks, arrays, width):
+    """Dispatch `fn(*pieces)` over fixed-width slices of the last axis.
+
+    Zero-pads the tail up to the smallest chunk so the set of compiled
+    shapes is closed; padded lanes produce garbage that is sliced away."""
+    outs = []
+    ofs = 0
+    while ofs < width:
+        remaining = width - ofs
+        size = next((c for c in chunks if c <= remaining), chunks[-1])
+        pieces = []
+        for a in arrays:
+            piece = a[..., ofs : ofs + size]
+            if piece.shape[-1] < size:
+                pad = jnp.zeros(
+                    piece.shape[:-1] + (size - piece.shape[-1],), jnp.uint32
+                )
+                piece = jnp.concatenate([piece, pad], axis=-1)
+            pieces.append(piece)
+        outs.append(fn(*pieces))
+        ofs += size
+    out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    return out[..., :width]
+
+
+def _to_mont_batch(raw: jax.Array) -> jax.Array:
+    """(C, NL, w) raw limbs → Montgomery, limb axis moved first for REDC."""
+    return jnp.moveaxis(_to_mont_trace(jnp.moveaxis(raw, 1, 0)), 0, 1)
+
+
+def _to_mont_trace(raw: jax.Array) -> jax.Array:
+    """Untraced body of _to_mont_dev, for inlining inside fused jits."""
+    t = PF._fold(PF._mul_columns(raw, jnp.asarray(_R2_LIMBS), NL, 2 * NL))
+    np15 = jnp.asarray(PF._NP15)
+    p15 = jnp.asarray(PF._P15)
+    k15 = jnp.asarray(PF._K15)
+    m = PF._fold(PF._mul_columns(t[: PF.LOW], np15, PF.LOW, PF.LOW))[: PF.LOW]
+    mn = PF._mul_columns(m, p15, PF.LOW, 2 * NL)
+    s = PF._fold(PF._fold(t[: 2 * NL] + mn))
+    carry = jnp.any(s[: PF.LOW] != 0, axis=0).astype(jnp.uint32)
+    out = jnp.concatenate(
+        [(s[PF.LOW] + carry)[None], s[PF.LOW + 1 : PF.LOW + NL]], axis=0
+    )
+    k15 = k15.reshape((PF.LOW,) + (1,) * (out.ndim - 1))
+    folded = PF._fold(out[: PF.LOW] + out[PF.LOW] * k15)
+    return folded[:NL]
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted_hash(use_pallas: bool):
-    fn = PPL2.hash_batch_pallas2 if use_pallas else PF.hash_batch15
-    return jax.jit(fn)
+def _jitted_mont():
+    return jax.jit(_to_mont_trace)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_leaf(use_pallas: bool):
+    hashf = PPL2.hash_batch_pallas2 if use_pallas else PF.hash_batch15
+
+    def f(user_raw, bal_raw):  # (NL, w) raw digests, (C, NL, w) raw balances
+        u = _to_mont_trace(user_raw)
+        b = _to_mont_batch(bal_raw)
+        return hashf(jnp.concatenate([u[None], b], axis=0))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_level(use_pallas: bool):
+    hashf = PPL2.hash_batch_pallas2 if use_pallas else PF.hash_batch15
+
+    def f(sums_raw, left_h, right_h):  # (C, NL, w) raw, 2×(NL, w) Montgomery
+        s = _to_mont_batch(sums_raw)
+        return hashf(jnp.concatenate([s, left_h[None], right_h[None]], axis=0))
+
+    return jax.jit(f)
 
 
 @jax.jit
 def _add_dev(a, b):
+    """Raw limb add with one carry fold. Inputs keep limbs ≤ 2^15+1, so the
+    sum fits uint32 and limbs stay bounded under arbitrarily many levels;
+    values are true integer sums (< 2^84 for u64 balances at 2^20 leaves),
+    so no modular reduction is ever needed."""
     s = a + b
     lo = s & MASK
     hi = s >> LB

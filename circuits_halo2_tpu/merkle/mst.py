@@ -358,7 +358,8 @@ class MerkleSumTree:
             path_indices=path_indices,
         )
 
-    def verify_proof(self, proof: MerkleProof) -> bool:
+    @staticmethod
+    def verify_proof(proof: MerkleProof) -> bool:
         node = proof.entry.compute_leaf()
         sibling = Node.leaf_node_from_preimage(proof.sibling_leaf_node_hash_preimage)
         for level, bit in enumerate(proof.path_indices):
@@ -403,3 +404,64 @@ class MerkleSumTree:
         if i < len(keys) and keys[i] == username:
             return i
         raise KeyError("Username not found")
+
+
+def synthetic_merkle_proof(
+    levels: int,
+    n_currencies: int,
+    entry: Entry,
+    seed: int = 0,
+    max_balance: int = 1 << 40,
+) -> MerkleProof:
+    """Consistent LEVELS-deep MerkleProof without building a 2^LEVELS tree.
+
+    Sibling nodes along the path are synthesized bottom-up: each sibling
+    middle-node preimage is built from freshly drawn child hashes/balances,
+    so every preimage hashes to exactly the node the path consumes — the
+    witness is indistinguishable (to the circuit) from one cut out of a full
+    tree. O(levels) host hashes; used by deep-circuit tests and benches
+    where the 2^20-leaf build itself is not the subject (reference scale:
+    `zk_prover/benches/full_solvency_flow.rs:13-16`).
+
+    Balances are kept < max_balance so the path sums stay inside the
+    N_BYTES range checks at every level.
+    """
+    import random
+
+    rng = random.Random(seed)
+
+    def rand_fr() -> int:
+        return rng.getrandbits(253) % F.FR_MOD
+
+    def rand_bals() -> list[int]:
+        return [rng.randrange(max_balance) for _ in range(n_currencies)]
+
+    node = entry.compute_leaf()
+    sibling_leaf_preimage = [rand_fr()] + rand_bals()
+    sibling = Node.leaf_node_from_preimage(sibling_leaf_preimage)
+    middles: list[list[int]] = []
+    path: list[int] = []
+    for level in range(levels):
+        if level > 0:
+            pre = rand_bals() + [rand_fr(), rand_fr()]
+            # middle preimage stores the two CHILD balance sums summed;
+            # draw children implicitly: pre[:-2] are already the sums
+            sibling = Node.middle_node_from_preimage(pre)
+            middles.append(pre)
+        bit = rng.getrandbits(1)
+        sums = [
+            (a + b) % F.FR_MOD for a, b in zip(node.balances, sibling.balances)
+        ]
+        if bit == 0:
+            preimage = sums + [node.hash, sibling.hash]
+        else:
+            preimage = sums + [sibling.hash, node.hash]
+        node = Node.middle_node_from_preimage(preimage)
+        path.append(bit)
+    return MerkleProof(
+        entry=entry,
+        root=node,
+        sibling_leaf_node_hash_preimage=sibling_leaf_preimage,
+        sibling_middle_node_hash_preimages=middles,
+        path_indices=path,
+    )

@@ -1017,9 +1017,16 @@ def _split_quotient_fns(pk, cs, dom, dyn_offsets, st_offsets, nperm, chunk,
     - ``gates(dyn_ext, st_ext, θ, β, γ, y) -> h_coeff``: identity
       evaluation + y-fold + vanishing division, dispatched once y is known.
 
-    Cached on the proving key per domain."""
+    Cached on the proving key per (domain, column layout) — the gates()
+    closure bakes in the offset dicts, so a caller with a different layout
+    on the same pk/domain must not hit a stale entry."""
+    cache_key = (
+        id(dom),
+        tuple(sorted(dyn_offsets.items())),
+        tuple(sorted(st_offsets.items())),
+    )
     cached = pk.__dict__.get("_split_quotient_cache")
-    if cached is not None and cached[0] is dom:
+    if cached is not None and cached[0] == cache_key:
         return cached[1]
 
     import jax
@@ -1048,6 +1055,6 @@ def _split_quotient_fns(pk, cs, dom, dyn_offsets, st_offsets, nperm, chunk,
         return _fold_terms(dom, terms, y_m)
 
     out = (transform, gates)
-    pk._split_quotient_cache = (dom, out)
+    pk._split_quotient_cache = (cache_key, out)
     return out
 

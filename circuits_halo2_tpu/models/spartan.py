@@ -368,7 +368,15 @@ def compress(
     bases: list,
 ) -> CompressedProof:
     """Produce the O(log|C|) proof that ``inst`` is a satisfiable committed
-    relaxed R1CS instance (replaces shipping ``wit`` to the verifier)."""
+    relaxed R1CS instance (replaces shipping ``wit`` to the verifier).
+
+    NOT zero-knowledge: the sumcheck round polynomials, ``w_eval``, and the
+    IPA's final scalars reveal linear functions of the witness (user
+    balances/hashes in the proof-of-solvency setting). This matches the
+    reference's non-hiding nova-snark default (CompressedSNARK with
+    Spartan+IPA-PC, `nova_incremental_verifier.rs:199-226`), but callers
+    must not assume the compressed proof hides the witness; blinding the
+    IPA would be required for a private deployment."""
     m_pad = _next_pow2(len(r1cs.constraints))
     mu = m_pad.bit_length() - 1
     z = _z_vector(r1cs, inst, wit.w)

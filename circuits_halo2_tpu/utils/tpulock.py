@@ -11,13 +11,18 @@ VERDICT r3 weak #2).
 
 import errno
 import fcntl
+import hashlib
 import os
 import sys
 import time
 
+# The lock must live OUTSIDE the repo: a git-tracked lock file gets replaced
+# (new inode) by checkouts/merges, silently defeating the flock, and every
+# bench run dirties the working tree. /tmp keyed by repo path keeps one lock
+# per checkout while surviving branch operations.
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LOCK_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".tpu.lock",
+    "/tmp", f"circuits-tpu-{hashlib.sha1(_REPO.encode()).hexdigest()[:12]}.lock"
 )
 
 
