@@ -413,6 +413,76 @@ def _segmented_sum_parts(px, py, pvalid, seg):
     return local, carry, carry_seg, L
 
 
+def _segmented_sum_parts_pallas(px, py, pvalid, seg, interpret: bool = False):
+    """Fused-kernel variant of `_segmented_sum_parts`: identical outputs,
+    but the L-step serial scan of jac_madds runs inside ONE pallas kernel
+    with the Jacobian accumulator resident in VMEM (ops/msm_pallas) —
+    no HBM round-trips or per-step dispatches. The 16-limb R256-Montgomery
+    tensors are bridged to the kernel's 15-limb R15 form by one field mul
+    per element on each side."""
+    from . import msm_pallas as MP
+
+    n = seg.shape[-1]
+    L = _seg_chunk_len(n)
+    nchunk = n // L
+    batch = seg.shape[:-1]
+    flat = int(np.prod(batch)) * nchunk if batch else nchunk
+
+    def to_lanes(a16):
+        # (16, ..., nchunk, L) → (L, ntile, 16, 8, 128); domain stays
+        # R256-Montgomery — the kernel converts per loaded point
+        a = a16.reshape((16,) + batch + (nchunk, L))
+        a = jnp.moveaxis(a, 0, -1)                    # (..., nchunk, L, 16)
+        a = a.reshape(flat, L, 16)
+        pad = (-flat) % MP.TILE
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, L, 16), jnp.uint32)], axis=0
+            )
+        ntile = (flat + pad) // MP.TILE
+        a = a.reshape(ntile, MP.SUB_LANE, MP.LANE, L, 16)
+        return jnp.transpose(a, (3, 0, 4, 1, 2))      # (L, ntile, 16, 8, 128)
+
+    def to_lanes_scalar(s):
+        a = s.reshape(batch + (nchunk, L)).reshape(flat, L)
+        pad = (-flat) % MP.TILE
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad, L), s.dtype)], axis=0)
+        ntile = (flat + pad) // MP.TILE
+        a = a.reshape(ntile, MP.SUB_LANE, MP.LANE, L)
+        return jnp.transpose(a, (3, 0, 1, 2))         # (L, ntile, 8, 128)
+
+    seg_l = to_lanes_scalar(seg.astype(jnp.uint32))
+    vs_l = to_lanes_scalar(pvalid.astype(jnp.uint32))
+    xs_l = to_lanes(px)
+    ys_l = to_lanes(py)
+
+    ox, oy, oz = MP._scan_pallas(seg_l, xs_l, ys_l, vs_l, interpret=interpret)
+
+    def from_lanes(o):
+        # (L, ntile, 16, 8, 128) → (16, ..., nchunk, L) — pure transpose,
+        # values already canonical 16-limb R256-Montgomery
+        ntile = o.shape[1]
+        a = jnp.transpose(o, (1, 3, 4, 0, 2))        # (ntile, 8, 128, L, 16)
+        a = a.reshape(ntile * MP.TILE, L, 16)[:flat]
+        a = jnp.moveaxis(a, -1, 0)                   # (16, flat, L)
+        return a.reshape((16,) + batch + (nchunk, L))
+
+    local5 = tuple(from_lanes(o) for o in (ox, oy, oz))
+
+    # cross-chunk carry (unchanged from the XLA path)
+    last_vals = tuple(c[..., -1] for c in local5)
+    segc = seg.reshape(seg.shape[:-1] + (nchunk, L))
+    last_seg = segc[..., -1]
+    inc = _roll_scan(last_vals, nchunk, +1, seg=last_seg)
+    carry = tuple(jnp.roll(c, 1, axis=-1) for c in inc)
+    carry_seg = jnp.where(
+        jnp.arange(nchunk) > 0, jnp.roll(last_seg, 1, axis=-1), -1
+    )
+    local = tuple(c.reshape(px.shape) for c in local5)
+    return local, carry, carry_seg, L
+
+
 def _suffix_sum_scan(p):
     """Inclusive suffix sums along the last axis (length must be 2^k)."""
     return _roll_scan(p, p[0].shape[-1], -1)
@@ -422,6 +492,22 @@ def _tree_sum_last(p):
     """Jacobian sum along the (power-of-two) last axis → size 1."""
     total = _roll_scan(p, p[0].shape[-1], +1)
     return tuple(c[..., -1:] for c in total)
+
+
+def _use_pallas_scan() -> bool:
+    """Fused pallas bucket scan (ops/msm_pallas) — default on TPU-family
+    backends, off on CPU (no Mosaic; interpret mode is test-only)."""
+    mode = os.environ.get("CIRCUITS_MSM_PALLAS", "auto")
+    if mode in ("0", "off"):
+        return False
+    if mode in ("1", "on"):
+        return True
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _pippenger_windows(xs, ys, valid, digits):
@@ -441,7 +527,12 @@ def _pippenger_windows(xs, ys, valid, digits):
     py = jnp.take(ys, perm, axis=1)
     pv = valid[perm]                 # (B, W, n)
 
-    local, carry, carry_seg, L = _segmented_sum_parts(px, py, pv, seg)
+    if _use_pallas_scan():
+        local, carry, carry_seg, L = _segmented_sum_parts_pallas(
+            px, py, pv, seg
+        )
+    else:
+        local, carry, carry_seg, L = _segmented_sum_parts(px, py, pv, seg)
 
     # segment ends → bucket index table (B, W, 257); column 256 is a trash
     # lane for non-end positions, sentinel value n marks empty buckets.
