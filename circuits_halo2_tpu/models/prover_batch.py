@@ -1,18 +1,27 @@
-"""Cross-user batched proving — the inclusion-workload throughput engine.
+"""Cross-user batched proving (vmapped phase evaluators).
 
 A CEX produces one MstInclusion proof per user (reference flow:
 `backend/src/apis/round.rs:112-123` calls the prover once per user); the
-proofs are independent, so the heavy device work batches perfectly. This
-module proves U users in ONE pass: every jitted phase evaluator from
+proofs are independent, so the heavy device work batches. This module
+proves U users in ONE pass: every jitted phase evaluator from
 models/prover (lookup compression, grand products, the quotient, the
 evaluation sweep, both SHPLONK folds) is wrapped in ``jax.vmap`` over a
 user axis, and every commitment MSM runs as one batched Pippenger dispatch
 over all users' columns. Per-user work that is inherently sequential — the
 Fiat–Shamir transcript, the lookup permute sort, blinding draws, the ≤3-
 point r_j interpolations — stays host-side in plain Python loops, exactly
-as in the single-user prover (SURVEY §7: "batching many proofs across
-users ... the real throughput win"; 6 host sync points per BATCH instead
-of per proof).
+as in the single-user prover.
+
+**Measured caveat (round 5, v5e, k=11): batching does NOT pay at current
+scales.** Warm sequential proving runs 26.4 proofs/min; the vmapped batch
+runs 17.9/min at U=8 and 13.3/min at U=32 (all proofs verify in both
+paths). The single-user jitted graphs are already device-efficient at
+n=2048 rows, and the vmapped versions lower to slower code (vmapped
+gathers/scans fuse worse) without reducing the serialized host work. Use
+the sequential loop for throughput at k≤13; this path remains correct
+(byte-identical proofs, tested) and is the right structure if per-proof
+device work ever shrinks below dispatch overheads (e.g. much smaller
+circuits or multi-proof hardware queues).
 
 Byte-compatibility: ``prove_batch(params, pk, [c], ...)[0]`` is guaranteed
 byte-identical to ``prove(params, pk, c, ...)`` — same blinding-draw
