@@ -350,9 +350,12 @@ def _seg_chunk_len(n: int) -> int:
     env = os.environ.get("CIRCUITS_MSM_SEG_L")
     if env:
         return max(4, min(int(env), n // 4))
-    # keep the chunk-total axis ≤ 512 so its carry scan stays in the
-    # static-unroll regime of _roll_scan
-    return max(16, n // 512)
+    # Longer chunks = fewer chunk totals = a shallower cross-chunk carry
+    # scan (log2(nchunk) XLA jac_adds — the fixed-cost tail). With the
+    # pallas scan kernel the serial chunk length is nearly free (device
+    # sweep round 5: 2^15x4 went 215k → 273k pts/s moving L 64 → 512;
+    # 2^17x4 flat between L=256 and 512), so cap nchunk low.
+    return max(16, min(512, n // 64))
 
 
 def _segmented_sum_parts(px, py, pvalid, seg):
