@@ -526,8 +526,9 @@ def _pippenger_windows(xs, ys, valid, digits):
 
     perm = jnp.argsort(digits, axis=-1)  # (B, W, n)
     seg = jnp.take_along_axis(digits, perm, axis=-1)
-    px = jnp.take(xs, perm, axis=1)  # (16, B, W, n)
-    py = jnp.take(ys, perm, axis=1)
+    # one fused gather for both coordinates (halves gather-op count)
+    pxy = jnp.take(jnp.concatenate([xs, ys], axis=0), perm, axis=1)
+    px, py = pxy[:16], pxy[16:]      # (16, B, W, n) each
     pv = valid[perm]                 # (B, W, n)
 
     if _use_pallas_scan():
