@@ -274,8 +274,9 @@ def msm(points, scalars):
 # Everything from 2-5 is one jit with static (n, B); bases are converted to
 # Montgomery limb tensors once per SRS and cached (precompute_bases).
 
-WINDOW = 8
-NWIN = 32  # 256 bits / 8
+WINDOW = int(os.environ.get("CIRCUITS_MSM_WINDOW", 8))
+NWIN = -(-256 // WINDOW)  # windows covering 256 bits
+NBUCKET = 1 << WINDOW
 
 
 def _log_steps(n: int) -> jnp.ndarray:
@@ -538,26 +539,26 @@ def _pippenger_windows(xs, ys, valid, digits):
     else:
         local, carry, carry_seg, L = _segmented_sum_parts(px, py, pv, seg)
 
-    # segment ends → bucket index table (B, W, 257); column 256 is a trash
-    # lane for non-end positions, sentinel value n marks empty buckets.
+    # segment ends → bucket index table (B, W, NBUCKET+1); the last
+    # column is a trash lane for non-end positions, sentinel n = empty.
     ends = jnp.concatenate(
         [seg[..., 1:] != seg[..., :-1], jnp.ones(seg.shape[:-1] + (1,), bool)],
         axis=-1,
     )
-    write_col = jnp.where(ends, seg, 256)
+    write_col = jnp.where(ends, seg, NBUCKET)
     pos_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), seg.shape)
-    table = jnp.full((nmsm, NWIN, 257), n, dtype=jnp.int32)
+    table = jnp.full((nmsm, NWIN, NBUCKET + 1), n, dtype=jnp.int32)
     b_ix = jnp.broadcast_to(jnp.arange(nmsm)[:, None, None], seg.shape)
     w_ix = jnp.broadcast_to(jnp.arange(NWIN)[None, :, None], seg.shape)
     table = table.at[b_ix, w_ix, write_col].set(pos_idx)
-    bucket_pos = table[..., :256]  # (B, W, 256)
+    bucket_pos = table[..., :NBUCKET]  # (B, W, NBUCKET)
 
     gather = jnp.clip(bucket_pos, 0, n - 1)[None]  # (1, B, W, 256)
     gidx = jnp.broadcast_to(gather, (16,) + bucket_pos.shape)
     bx = jnp.take_along_axis(local[0], gidx, axis=-1)
     by = jnp.take_along_axis(local[1], gidx, axis=-1)
     bz = jnp.take_along_axis(local[2], gidx, axis=-1)
-    live = (bucket_pos < n) & (jnp.arange(256) > 0)  # drop empty + bucket 0
+    live = (bucket_pos < n) & (jnp.arange(NBUCKET) > 0)  # drop empty + bucket 0
     bz = jnp.where(live[None], bz, jnp.zeros_like(bz))
 
     # fold the cross-chunk carries in at the bucket ends only (O(buckets)
@@ -569,13 +570,13 @@ def _pippenger_windows(xs, ys, valid, digits):
     cx = jnp.take_along_axis(carry[0], cidx, axis=-1)
     cy = jnp.take_along_axis(carry[1], cidx, axis=-1)
     cz = jnp.take_along_axis(carry[2], cidx, axis=-1)
-    apply = live & (cs_g == jnp.arange(256))
+    apply = live & (cs_g == jnp.arange(NBUCKET))
     cz = jnp.where(apply[None], cz, jnp.zeros_like(cz))
     bx, by, bz = jac_add((bx, by, bz), (cx, cy, cz))
 
-    # Σ_{b=1}^{255} b·B_b = Σ_{k=1}^{255} suffix_k
+    # Σ_{b≥1} b·B_b = Σ_{k≥1} suffix_k
     suf = _suffix_sum_scan((bx, by, bz))
-    keep = jnp.arange(256) > 0
+    keep = jnp.arange(NBUCKET) > 0
     suf = (suf[0], suf[1], jnp.where(keep[None, None, None], suf[2], 0))
     win = _tree_sum_last(suf)  # (16, B, W, 1)
     return tuple(c[..., 0] for c in win)  # (16, B, W)
@@ -681,15 +682,26 @@ def precompute_bases(points) -> tuple:
 
 
 def _scalars_to_digits(scalar_rows, n: int) -> np.ndarray:
-    """(B rows of n scalars) → (B, NWIN, n) int32 byte digits, LE windows."""
+    """(B rows of n scalars) → (B, NWIN, n) int32 window digits, LE
+    windows of WINDOW bits (vectorized byte slicing, any WINDOW ≤ 16)."""
     b = len(scalar_rows)
+    mask = NBUCKET - 1
     out = np.empty((b, NWIN, n), dtype=np.int32)
     for i, row in enumerate(scalar_rows):
-        buf = b"".join((s % F.FR_MOD).to_bytes(32, "little") for s in row)
-        arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(row), 32)
+        buf = b"".join((s % F.FR_MOD).to_bytes(33, "little") for s in row)
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(row), 33)
         if len(row) < n:
-            arr = np.vstack([arr, np.zeros((n - len(row), 32), np.uint8)])
-        out[i] = arr.T.astype(np.int32)
+            arr = np.vstack([arr, np.zeros((n - len(row), 33), np.uint8)])
+        a32 = arr.astype(np.int32)
+        for w in range(NWIN):
+            bit = WINDOW * w
+            b0, r = divmod(bit, 8)
+            d = a32[:, b0] >> r
+            if b0 + 1 < 33:
+                d = d | (a32[:, b0 + 1] << (8 - r))
+            if 8 - r + 8 < WINDOW + 8 and b0 + 2 < 33:
+                d = d | (a32[:, b0 + 2] << (16 - r))
+            out[i, w] = d & mask
     return out
 
 
@@ -746,19 +758,35 @@ def msm_pippenger_device(points, scalar_rows):
     return outs[: len(scalar_rows)]
 
 
+
+
+def digits_from_mont(scal_mont: jax.Array) -> jax.Array:
+    """Device WINDOW-bit digit extraction from Montgomery scalar columns:
+    de-Montgomery to exact 16-bit limbs, then slice windows (any
+    WINDOW ≤ 16). Returns (..., NWIN, m) int32 in _scalars_to_digits
+    order. Shared by the single-device and shard_map paths."""
+    one_plain = jnp.asarray(FJ.FR.const(1, mont=False)).reshape(
+        (16,) + (1,) * (scal_mont.ndim - 1)
+    )
+    canon = FJ.mont_mul(scal_mont, one_plain)       # 16-bit limbs < p
+    mask = NBUCKET - 1
+    wins = []
+    for w in range(NWIN):
+        bit = WINDOW * w
+        l0, r = divmod(bit, 16)
+        d = canon[l0] >> r
+        if r + WINDOW > 16 and l0 + 1 < 16:
+            d = d | (canon[l0 + 1] << (16 - r))
+        wins.append(d & mask)
+    digits = jnp.stack(wins, axis=0)                # (NWIN, ..., m)
+    return jnp.moveaxis(digits, 0, 1).astype(jnp.int32)
+
 @functools.partial(jax.jit, static_argnames=("n", "nmsm"))
 def _commit_dev(xs, ys, valid, scal_mont, n: int, nmsm: int):
     """Device-resident commit: (16, nmsm, m) Montgomery scalar columns →
     Jacobian accumulators, all inside ONE dispatch (de-Montgomery, byte
     digit extraction, Pippenger). m ≤ n; missing lanes are zero digits."""
-    one_plain = jnp.asarray(FJ.FR.const(1, mont=False)).reshape(16, 1, 1)
-    canon = FJ.mont_mul(scal_mont, one_plain)       # 16-bit limbs < p
-    lo = canon & 0xFF
-    hi = canon >> 8
-    # limb-major interleave: [l0_lo, l0_hi, l1_lo, …] = LE bytes = window
-    # digits in the _scalars_to_digits order
-    digits = jnp.stack([lo, hi], axis=1).reshape((NWIN,) + canon.shape[1:])
-    digits = jnp.moveaxis(digits, 0, 1).astype(jnp.int32)  # (nmsm, NWIN, m)
+    digits = digits_from_mont(scal_mont)            # (nmsm, NWIN, m)
     m = digits.shape[-1]
     if m < n:
         pad = jnp.zeros(digits.shape[:-1] + (n - m,), jnp.int32)

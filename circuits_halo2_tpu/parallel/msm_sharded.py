@@ -87,12 +87,7 @@ def _sharded_commit(mesh: Mesh, axis: str):
         check_vma=False,
     )
     def _run(xs_l, ys_l, valid_l, scal_l):
-        one_plain = jnp.asarray(FJ.FR.const(1, mont=False)).reshape(16, 1, 1)
-        canon = FJ.mont_mul(scal_l, one_plain)  # exact 16-bit limbs < p
-        lo = canon & 0xFF
-        hi = canon >> 8
-        digits = jnp.stack([lo, hi], axis=1).reshape((M.NWIN,) + canon.shape[1:])
-        digits = jnp.moveaxis(digits, 0, 1).astype(jnp.int32)  # (B, NWIN, nloc)
+        digits = M.digits_from_mont(scal_l)  # (B, NWIN, nloc)
         part = M._pippenger_core(xs_l, ys_l, valid_l, digits)
         g = [
             jnp.moveaxis(jax.lax.all_gather(c, axis, tiled=False), 0, -1)
