@@ -146,3 +146,105 @@ def test_ivc_chain_end_to_end():
     bad4 = copy.deepcopy(pf)
     bad4.n = pf.n + 1
     assert not ivc.verify_chain(bad4)
+
+
+# -- CompressedSNARK over the cycle (Spartan generic instantiations) ---------
+
+
+def _toy_fq_pair(x_val, y_val):
+    """Tiny satisfied R1CS over Fq: public out = x·y + x (num_public=1)."""
+    b = D.Builder(FQ_MOD)
+    out = b.new_wire((x_val * y_val + x_val) % FQ_MOD)  # wire 1 (public)
+    x = b.new_wire(x_val)
+    y = b.new_wire(y_val)
+    xy = b.mul(x, y)
+    b.assert_eq(b.add(xy, x), out)
+    return b.finish(num_public=1)
+
+
+def test_fq_spartan_compress_roundtrip():
+    """The grumpkin/Fq Spartan instantiation end-to-end on a folded relaxed
+    accumulator: two strict toy instances folded by the host NIFS, then
+    compressed and verified without the witness (the secondary-side
+    machinery of the reference's CompressedSNARK, nova-snark's S2
+    parameter, `nova_incremental_verifier.rs:199-226`)."""
+    from circuits_halo2_tpu.models import spartan as SP
+
+    sys_a, wit_a = _toy_fq_pair(3, 5)
+    sys_b, wit_b = _toy_fq_pair(7, 11)
+    assert len(sys_a.constraints) == len(sys_b.constraints)
+
+    bases = NC.pedersen_bases_e2(16)
+    u_a, w_a = NC.make_strict(sys_a, wit_a, bases, NC._E2)
+    u_b, w_b = NC.make_strict(sys_b, wit_b, bases, NC._E2)
+    assert NC.strict_satisfied(sys_a, u_a, w_a, bases, bases, NC._E2)
+
+    U = NC.default_instance()
+    W = NC.Witness([0] * (sys_a.num_wires - 2), [0] * len(sys_a.constraints))
+    U, W, _, _ = NC.nifs_fold_host(sys_a, bases, NC._E2, 7, U, W, u_a, w_a)
+    U, W, _, _ = NC.nifs_fold_host(sys_a, bases, NC._E2, 7, U, W, u_b, w_b)
+    assert NC.relaxed_satisfied(sys_a, U, W, bases, bases, NC._E2)
+    assert U.u != 1 and any(W.e)  # genuinely relaxed
+
+    ctx = NC.spartan_ctx_e2()
+    view = NC._spartan_view(sys_a)
+    n_pad = NC._pad_len(sys_a)
+    bases_pad = NC.pedersen_bases_e2(n_pad)
+    proof = SP.compress(view, U, SP.RelaxedWitness(W.w, W.e), bases_pad, ctx)
+    n_w = sys_a.num_wires - 1 - sys_a.num_public
+    assert SP.verify_compressed(view, U, proof, bases_pad, n_w=n_w, ctx=ctx)
+
+    # tampering is rejected
+    bad = copy.deepcopy(proof)
+    bad.w_eval = (bad.w_eval + 1) % FQ_MOD
+    assert not SP.verify_compressed(view, U, bad, bases_pad, n_w=n_w, ctx=ctx)
+    bad2 = copy.deepcopy(proof)
+    bad2.ipa_w.a_final = (bad2.ipa_w.a_final + 1) % FQ_MOD
+    assert not SP.verify_compressed(view, U, bad2, bases_pad, n_w=n_w, ctx=ctx)
+    other = NC.Instance(U.com_w, U.com_e, U.u, [(U.x[0] + 1) % FQ_MOD])
+    assert not SP.verify_compressed(view, other, proof, bases_pad, n_w=n_w, ctx=ctx)
+
+
+def test_fr_spartan_ctx_matches_default():
+    """The E1 context is byte-compatible with spartan's default Fr/G1
+    instantiation except for the IPA Q base (domain-separated seed)."""
+    ctx = NC.spartan_ctx_e1()
+    assert ctx.p == FR_MOD
+    from circuits_halo2_tpu.ops import curve as C1
+
+    q = ctx.q_base()
+    assert C1.g1_is_on_curve(q) if hasattr(C1, "g1_is_on_curve") else q is not None
+
+
+@slow
+def test_ivc_chain_compressed():
+    """Full cycle: prove a 2-step chain, compress all three accumulators,
+    verify without witnesses; tampered variants rejected."""
+    from circuits_halo2_tpu.merkle import circom_mst as CM
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    states = [
+        os.path.join(here, "fixtures_csv", "states", f"entry_16_{i}.csv")
+        for i in (1, 2)
+    ]
+    proofs, user_states, liab_states = CM.state_chain(states, 0)
+    z0 = [0, 0]
+    params = NC.NovaCycleIVC.setup(proofs[0], z0)
+    ivc = NC.NovaCycleIVC(params)
+    pf = ivc.prove_chain(z0, proofs)
+    assert ivc.verify_chain(pf)
+
+    cp = NC.compress_ivc(params, pf)
+    assert NC.verify_ivc_compressed(params, cp)
+    # compressed proof is small: no witness vector travels
+    assert cp.size_bytes() < 64 * 1024
+
+    bad = copy.deepcopy(cp)
+    bad.z_n = [cp.z_n[0] ^ 1, cp.z_n[1]]
+    assert not NC.verify_ivc_compressed(params, bad)
+    bad2 = copy.deepcopy(cp)
+    bad2.pf1.w_eval = (bad2.pf1.w_eval + 1) % FR_MOD
+    assert not NC.verify_ivc_compressed(params, bad2)
+    bad3 = copy.deepcopy(cp)
+    bad3.u2.u = 2
+    assert not NC.verify_ivc_compressed(params, bad3)
