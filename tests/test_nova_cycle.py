@@ -213,7 +213,14 @@ def test_fr_spartan_ctx_matches_default():
     from circuits_halo2_tpu.ops import curve as C1
 
     q = ctx.q_base()
-    assert C1.g1_is_on_curve(q) if hasattr(C1, "g1_is_on_curve") else q is not None
+    assert C1.g1_is_on_curve(q)
+    # and distinct from spartan's own Q (domain-separated seeds)
+    from circuits_halo2_tpu.models import spartan as SP
+
+    assert q != SP._q_base()
+    # grumpkin Q is on grumpkin
+    q2 = NC.spartan_ctx_e2().q_base()
+    assert GK.is_on_curve(q2)
 
 
 @slow
