@@ -101,8 +101,14 @@ def main() -> None:
     from circuits_halo2_tpu.ops import poseidon
     from circuits_halo2_tpu.ops import poseidon_fast as PF
 
-    batch = int(os.environ.get("BENCH_BATCH", 16384))
-    iters = int(os.environ.get("BENCH_ITERS", 16))
+    # Operating point re-characterized after a remote Mosaic compiler
+    # update changed the kernel's batch-size response: the old default
+    # (batch=16384) dropped from ~930k to ~370k h/s while ONE tile per
+    # scan step (batch=1024) now runs 1.47M h/s — the measured sweep is
+    # 1024: 1475k, 2048: 1393k, 4096: 1335k, 8192: 1160k, 16384: 367k,
+    # 65536: 435k. Total hashes per trial stays 262144 (batch·iters).
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    iters = int(os.environ.get("BENCH_ITERS", 262144 // 1024))
     length = 3  # leaf preimage for 2 currencies
 
     rng = np.random.default_rng(0)
@@ -115,6 +121,10 @@ def main() -> None:
     if impl == "pallas2":
         from circuits_halo2_tpu.ops import poseidon_pallas2 as PPL2
 
+        assert batch % PPL2.TILE == 0, (
+            f"BENCH_BATCH={batch} must be a multiple of the pallas tile "
+            f"({PPL2.TILE}); a partial tile produces wrong digests"
+        )
         hash_fn = PPL2.hash_batch_pallas2
     else:
         hash_fn = PF.hash_batch15
